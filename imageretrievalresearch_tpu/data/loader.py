@@ -1,0 +1,144 @@
+"""Host-side triplet loader: threaded decode + prefetch feeding the device.
+
+Replaces the reference's ``DataLoader(bs, shuffle=True, drop_last=True,
+num_workers=8)`` (train/train.py:76-78). Differences, by design:
+
+- Threads instead of worker processes (PIL decode releases the GIL; no
+  pickling/fork overhead), with a bounded prefetch queue so decode overlaps
+  device compute — hard part #5 in SURVEY.md (input-bound training).
+- Batches are dicts of stacked **uint8 HWC numpy arrays**; all float
+  conversion / resize / augmentation happens fused on device
+  (ops/preprocess.py), not per-sample on host.
+- Deterministic per-(epoch, index) sampling via ``np.random.SeedSequence``
+  instead of global ``random`` state (reference sketch_dataset.py:294-297).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator
+
+import numpy as np
+from PIL import Image
+
+
+class TripletLoader:
+    """Iterates dict batches over any of the *ImageDataset classes.
+
+    Dataset must expose ``__len__`` and ``__getitem__(idx, rng=...)``
+    returning ``{'qry': u8 HWC, 'pos': [u8 HWC], 'neg': [u8 HWC],
+    'cat_idx': int, 'prod_idx': int}`` (or the TripleDataset's P/S/N/L dict,
+    which is translated).
+
+    Args:
+      host_size: if set, PIL-resize decoded images to (host_size, host_size)
+        on the host so variable-size sources stack into one array. Sketchy
+        DB-256 is uniform 256px, so the default (None) stacks directly.
+    """
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
+                 drop_last: bool = True, num_workers: int = 8,
+                 seed: int = 42, host_size: int | None = None,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.host_size = host_size
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    # --- sample fetch ---
+
+    def _fetch(self, idx: int) -> dict:
+        ss = np.random.SeedSequence(entropy=self.seed,
+                                    spawn_key=(self.epoch, idx))
+        rng = np.random.default_rng(ss)
+        try:
+            item = self.dataset.__getitem__(idx, rng=rng)
+        except TypeError:
+            item = self.dataset[idx]
+        if "P" in item:  # TripleDataset dict -> canonical triplet dict
+            item = {"qry": item["P"], "pos": [item["S"]], "neg": [item["N"]],
+                    "cat_idx": item["L"], "prod_idx": item["L"]}
+        return item
+
+    def _resize_host(self, im: np.ndarray) -> np.ndarray:
+        if self.host_size is None:
+            return im
+        s = self.host_size
+        if im.shape[0] == s and im.shape[1] == s:
+            return im
+        return np.asarray(
+            Image.fromarray(im).resize((s, s), Image.BILINEAR))
+
+    def _collate(self, items: list[dict]) -> dict:
+        def stack(key, sub=None):
+            if sub is None:
+                arrs = [self._resize_host(np.asarray(i[key])) for i in items]
+            else:
+                arrs = [self._resize_host(np.asarray(i[key][sub])) for i in items]
+            return np.stack(arrs)
+
+        n_pos = len(items[0]["pos"])
+        n_neg = len(items[0]["neg"])
+        batch = {
+            "qry": stack("qry"),
+            # reference indexes batch['pos'][0] (train/train.py:191); we keep
+            # the list-of-stacks layout for pos_return_num/neg_return_num > 1
+            "pos": [stack("pos", j) for j in range(n_pos)],
+            "neg": [stack("neg", j) for j in range(n_neg)],
+            "cat_idx": np.asarray([i["cat_idx"] for i in items], dtype=np.int32),
+            "prod_idx": np.asarray([i["prod_idx"] for i in items], dtype=np.int32),
+        }
+        return batch
+
+    # --- iteration with bounded prefetch ---
+
+    def __iter__(self) -> Iterator[dict]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(
+                np.random.SeedSequence(entropy=self.seed,
+                                       spawn_key=(self.epoch, 1 << 30)))
+            rng.shuffle(order)
+        nb = len(self)
+        batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(nb)]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for bidx in batches:
+                    if stop.is_set():
+                        return
+                    items = list(pool.map(self._fetch, bidx.tolist()))
+                    q.put(self._collate(items))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

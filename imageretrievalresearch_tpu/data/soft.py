@@ -1,0 +1,147 @@
+"""Soft (real/+sketch/) triplet dataset — parity with the reference.
+
+Layout (reference data/softdataset.py:72-75)::
+
+    <data_dir>/real/<cat>/<name>_<prod>_*.ext
+    <data_dir>/sketch/<cat>/<name>_<prod>_*.ext
+
+classify (softdataset.py:142-146): cat = second path component,
+sketch_name = stem of third component, prod = ``sketch_name.split('_')[1]``.
+Label walk is ``sketch_lst + image_lst`` (softdataset.py:78).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+from imageretrievalresearch_tpu.data.index import TripletIndex, build_triplet_index
+
+
+class TripletDataset:
+    """Path-level dataset (reference data/softdataset.py:44-157)."""
+
+    def __init__(self, data_dir: str, random: bool = True,
+                 pos_policy: str = "prod", neg_policy: str = "except_cat",
+                 trainval_json: str | None = None, trainval: str | None = None,
+                 data_json: str | None = None):
+        self.pos_policy, self.neg_policy = pos_policy, neg_policy
+        self.random, self.data_dir = random, data_dir
+        self.index: TripletIndex | None = None
+
+        if not self.random:
+            assert data_json is not None, "data_json is required if not random"
+            assert trainval_json is None and trainval is None, \
+                "random false mode doesn't support trainval mode"
+            with open(data_json, "r") as f:
+                json_data = json.loads(f.read())
+            self.cat_idx = json_data["meta"]["cat_idx"]
+            self.prod_idx = json_data["meta"]["prod_idx"]
+            self.sketch_lst = json_data["meta"]["sketch_lst"]
+            self.image_lst = json_data["meta"]["image_lst"]
+            self.data = json_data["data"]
+            return
+
+        if trainval_json:
+            assert trainval is not None, \
+                "you should declare whether this is train or val dataset"
+            with open(trainval_json, "r") as f:
+                trainval_data = json.loads(f.read())
+            image_lst = trainval_data[trainval]
+        else:
+            image_lst = glob.glob(os.path.join(self.data_dir, "real/**/*"),
+                                  recursive=True)
+        sketch_lst = glob.glob(os.path.join(self.data_dir, "sketch/**/*"),
+                               recursive=True)
+        image_lst = sorted(i for i in image_lst if os.path.isfile(i))
+        sketch_lst = sorted(i for i in sketch_lst if os.path.isfile(i))
+
+        self.index = build_triplet_index(
+            image_lst, sketch_lst, self._classify_full,
+            pos_policy=pos_policy, neg_policy=neg_policy,
+            label_walk=sketch_lst + image_lst)
+        self.cat_idx = self.index.cat_idx
+        self.prod_idx = self.index.prod_idx
+        self.sketch_lst = self.index.sketch_lst
+        self.image_lst = self.index.image_lst
+
+    def get_basepath(self, path: str) -> str:
+        return path.replace(os.path.join(self.data_dir, ""), "")
+
+    def classify(self, path: str) -> tuple[str, str, str]:
+        split = path.split("/")
+        cat, sketch_name = split[1], os.path.splitext(split[2])[0]
+        prod = sketch_name.split("_")[1]
+        return cat, sketch_name, prod
+
+    def _classify_full(self, path: str) -> tuple[str, str]:
+        cat, _, prod = self.classify(self.get_basepath(path))
+        return cat, prod
+
+    def get_cat_length(self) -> int:
+        return len(self.cat_idx)
+
+    def get_prod_length(self) -> int:
+        return len(self.prod_idx)
+
+    def __len__(self) -> int:
+        if not self.random:
+            return len(self.data)
+        return len(self.image_lst)
+
+    def __getitem__(self, idx: int) -> dict:
+        if not self.random:
+            return self.data[idx]
+        assert self.index is not None
+        return {
+            "qry": self.image_lst[idx],
+            "pos": [self.sketch_lst[i] for i in self.index.pos_candidates[idx]],
+            "neg": [self.sketch_lst[i] for i in self.index.neg_candidates[idx]],
+            "pos_policy": self.index.pos_policy_key[idx],
+            "neg_policy": self.index.neg_policy_key[idx],
+        }
+
+
+class TripletImageDataset(TripletDataset):
+    """Image-level dataset (reference data/softdataset.py:159-200)."""
+
+    def __init__(self, transform_dic: dict | None = None,
+                 pos_return_num: int = 1, neg_return_num: int = 1,
+                 load_images: bool = False, seed: int = 0, **kwargs):
+        super().__init__(**kwargs)
+        self.load_images, self.transform_dic = load_images, transform_dic
+        self.pos_return_num, self.neg_return_num = pos_return_num, neg_return_num
+        self._rng = np.random.default_rng(seed)
+        self._cache: dict[str, np.ndarray] = {}
+        if self.load_images:
+            for p in set(self.sketch_lst) | set(self.image_lst):
+                self._cache[p] = self._decode(p)
+        if transform_dic:
+            self.qry_trans = transform_dic["qry"]
+            self.pos_trans = transform_dic["pos"]
+            self.neg_trans = transform_dic["neg"]
+
+    def _decode(self, path: str) -> np.ndarray:
+        if path in self._cache:
+            return self._cache[path]
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"))
+
+    def __getitem__(self, idx: int, rng: np.random.Generator | None = None) -> dict:
+        assert self.index is not None
+        rng = rng or self._rng
+        s = self.index.sample(idx, rng, self.pos_return_num, self.neg_return_num)
+        qry = self._decode(s["qry"])
+        pos = [self._decode(p) for p in s["pos"]]
+        neg = [self._decode(p) for p in s["neg"]]
+        if self.transform_dic:
+            qry = self.qry_trans(qry)
+            pos = [self.pos_trans(i) for i in pos]
+            neg = [self.neg_trans(i) for i in neg]
+        return {"qry": qry, "pos": pos, "neg": neg,
+                "cat_idx": s["cat_idx"], "prod_idx": s["prod_idx"],
+                "paths": {"qry": s["qry"], "pos": s["pos"], "neg": s["neg"]}}

@@ -1,0 +1,100 @@
+"""Simple class-folder triple dataset — parity with the reference.
+
+Layout (reference data/triplet_dataset.py:31-91)::
+
+    <photo_root>/<class>/<image files>
+    <sketch_root>/<class>/<sketch files>
+
+``__getitem__`` returns ``{'P': photo, 'S': random same-class sketch,
+'N': random other-class sketch, 'L': class index}`` — the dataset behind the
+Swin triplet recipe (train/train_vit_triplet.py:47-48).
+"""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+
+import numpy as np
+from PIL import Image
+
+
+def find_classes(root: str) -> tuple[list[str], dict[str, int]]:
+    """Sorted class-dir discovery (reference data/triplet_dataset.py:9-13)."""
+    classes = [d for d in os.listdir(root)
+               if os.path.isdir(os.path.join(root, d))]
+    classes.sort()
+    class_to_idx = {classes[i]: i for i in range(len(classes))}
+    return classes, class_to_idx
+
+
+def make_dataset(root: str) -> list[str]:
+    """All files under class dirs (reference data/triplet_dataset.py:16-28)."""
+    images = []
+    for cname in sorted(os.listdir(root)):
+        c_path = os.path.join(root, cname)
+        if os.path.isdir(c_path):
+            for fname in sorted(os.listdir(c_path)):
+                images.append(os.path.join(c_path, fname))
+    return images
+
+
+class TripleDataset:
+    """Reference data/triplet_dataset.py:31-91 with an explicit PRNG.
+
+    The reference's negative pick has a quirk: it samples from
+    ``set(listdir(sketch_root)) - set(cname)`` — subtracting the *characters*
+    of the class name, not the class itself, so the same class can be drawn
+    as a negative. We implement the intent (exclude the query class).
+    """
+
+    def __init__(self, photo_root: str, sketch_root: str,
+                 transform=None, seed: int = 0):
+        self.transform = transform
+        classes, class_to_idx = find_classes(photo_root)
+        self.photo_root = photo_root
+        self.sketch_root = sketch_root
+        self.photo_paths = sorted(make_dataset(self.photo_root))
+        self.classes = classes
+        self.class_to_idx = class_to_idx
+        self.len = len(self.photo_paths)
+        self._rng = np.random.default_rng(seed)
+        # precompute per-class sketch lists
+        self._sketches = {
+            c: sorted(os.listdir(os.path.join(sketch_root, c)))
+            for c in os.listdir(sketch_root)
+            if os.path.isdir(os.path.join(sketch_root, c))
+        }
+
+    def __len__(self) -> int:
+        return self.len
+
+    def _getrelate_sketch(self, photo_path: str,
+                          rng: np.random.Generator) -> tuple[str, str, int]:
+        cname = os.path.basename(os.path.dirname(photo_path))
+        label = self.class_to_idx[cname]
+        # random negative class != query class, then random file within it
+        items = sorted(set(self._sketches.keys()) - {cname})
+        neg_cls = items[rng.integers(0, len(items))]
+        files = sorted(glob(os.path.join(self.sketch_root, neg_cls, "*")))
+        neg = files[rng.integers(0, len(files))]
+        # random positive sketch from the same class folder
+        sketchs = self._sketches[cname]
+        sketch = sketchs[rng.integers(0, len(sketchs))]
+        return os.path.join(self.sketch_root, cname, sketch), neg, label
+
+    def __getitem__(self, index: int,
+                    rng: np.random.Generator | None = None) -> dict:
+        rng = rng or self._rng
+        photo_path = self.photo_paths[index]
+        sketch_path, neg_path, label = self._getrelate_sketch(photo_path, rng)
+        with Image.open(photo_path) as im:
+            photo = np.asarray(im.convert("RGB"))
+        with Image.open(sketch_path) as im:
+            sketch = np.asarray(im.convert("RGB"))
+        with Image.open(neg_path) as im:
+            neg = np.asarray(im.convert("RGB"))
+        if self.transform is not None:
+            photo, sketch, neg = (self.transform(photo), self.transform(sketch),
+                                  self.transform(neg))
+        return {"P": photo, "S": sketch, "N": neg, "L": label}

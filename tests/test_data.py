@@ -1,0 +1,200 @@
+"""Data-layer tests: split policies, candidate construction, loader batching."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from imageretrievalresearch_tpu.data import (
+    OriginalImageDataset,
+    SketchyDataset,
+    SketchyImageDataset,
+    TripleDataset,
+    TripletImageDataset,
+    TripletLoader,
+    data_split_original,
+    data_split_sketchy,
+    data_split_soft,
+)
+from imageretrievalresearch_tpu.data.synthetic import (
+    make_classfolder_tree,
+    make_original_tree,
+    make_sketchy_tree,
+    make_soft_tree,
+)
+
+
+@pytest.fixture(scope="module")
+def sketchy_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sketchy")
+    return make_sketchy_tree(str(root), n_cats=4, n_prods=2,
+                             n_photos=4, n_sketches=3, size=32)
+
+
+class TestDataSplit:
+    def test_soft_split_has_all_classes_everywhere(self, sketchy_root, tmp_path):
+        out = data_split_sketchy(sketchy_root, str(tmp_path / "s.json"),
+                                 policy="cat", hard_split=False)
+        d = json.load(open(out))
+        def cats(paths):
+            return {os.path.basename(os.path.dirname(p)) for p in paths}
+        assert cats(d["train"]) == cats(d["val"]) == cats(d["test"])
+        assert len(d["train"]) + len(d["val"]) + len(d["test"]) == 4 * 2 * 4
+
+    def test_hard_split_classes_disjoint(self, sketchy_root, tmp_path):
+        out = data_split_sketchy(sketchy_root, str(tmp_path / "h.json"),
+                                 policy="cat", hard_split=True)
+        d = json.load(open(out))
+        def cats(paths):
+            return {os.path.basename(os.path.dirname(p)) for p in paths}
+        assert not (cats(d["train"]) & cats(d["val"]))
+        assert not (cats(d["train"]) & cats(d["test"]))
+
+    def test_split_deterministic(self, sketchy_root, tmp_path):
+        a = json.load(open(data_split_sketchy(
+            sketchy_root, str(tmp_path / "a.json"), hard_split=False, seed=7)))
+        b = json.load(open(data_split_sketchy(
+            sketchy_root, str(tmp_path / "b.json"), hard_split=False, seed=7)))
+        assert a == b
+
+    def test_original_split(self, tmp_path):
+        root = make_original_tree(str(tmp_path / "orig"))
+        out = data_split_original(root, str(tmp_path / "o.json"),
+                                  policy="cat", hard_split=False)
+        d = json.load(open(out))
+        assert all("pdf_detail" not in p for k in d for p in d[k])
+
+    def test_soft_layout_split(self, tmp_path):
+        root = make_soft_tree(str(tmp_path / "soft"))
+        out = data_split_soft(root, str(tmp_path / "sf.json"), policy="cat")
+        d = json.load(open(out))
+        assert set(d) == {"train", "val", "test"}
+        assert all(p.split(root)[1].startswith("/real") for k in d for p in d[k])
+
+
+class TestSketchyDataset:
+    def test_candidate_policies(self, sketchy_root):
+        ds = SketchyDataset(data_dir=sketchy_root, pos_policy="cat",
+                            neg_policy="except_cat")
+        assert ds.get_cat_length() == 4
+        assert ds.get_prod_length() == 8
+        assert len(ds) == 4 * 2 * 4  # all photos kept (all have candidates)
+        item = ds[0]
+        cat = ds.classify(ds.get_basepath(item["qry"]))[0]
+        # positives: all sketches of same cat; negatives: none of same cat
+        for p in item["pos"]:
+            assert f"/sketch/tx_000000000000/{cat}/" in p
+        for n in item["neg"]:
+            assert f"/{cat}/" not in n
+
+    def test_pos_prod_policy(self, sketchy_root):
+        ds = SketchyDataset(data_dir=sketchy_root, pos_policy="prod",
+                            neg_policy="except_prod")
+        item = ds[0]
+        prod = ds.classify(ds.get_basepath(item["qry"]))[1]
+        for p in item["pos"]:
+            assert os.path.basename(p).startswith(prod + "-")
+        for n in item["neg"]:
+            assert not os.path.basename(n).startswith(prod + "-")
+
+    def test_in_cat_except_prod(self, sketchy_root):
+        ds = SketchyDataset(data_dir=sketchy_root, pos_policy="prod",
+                            neg_policy="in_cat_except_prod")
+        item = ds[0]
+        cat, prod = ds.classify(ds.get_basepath(item["qry"]))
+        for n in item["neg"]:
+            ncat, nprod = ds.classify(ds.get_basepath(n))
+            assert ncat == cat and nprod != prod
+
+    def test_sketch_qry_extends_queries(self, sketchy_root):
+        base = SketchyDataset(data_dir=sketchy_root)
+        ext = SketchyDataset(data_dir=sketchy_root, sketch_qry=True)
+        assert len(ext) == len(base) + len(base.sketch_lst)
+
+    def test_trainval_json(self, sketchy_root, tmp_path):
+        out = data_split_sketchy(sketchy_root, str(tmp_path / "tv.json"),
+                                 hard_split=False)
+        tr = SketchyDataset(data_dir=sketchy_root, trainval_json=out,
+                            trainval="train")
+        va = SketchyDataset(data_dir=sketchy_root, trainval_json=out,
+                            trainval="val")
+        assert len(tr) > len(va) > 0
+        assert not (set(tr.image_lst) & set(va.image_lst))
+
+
+class TestImageDatasets:
+    def test_sketchy_image_sample(self, sketchy_root):
+        ds = SketchyImageDataset(data_dir=sketchy_root, pos_return_num=2,
+                                 neg_return_num=1)
+        item = ds[0]
+        assert item["qry"].shape == (32, 32, 3)
+        assert len(item["pos"]) == 2 and len(item["neg"]) == 1
+        assert isinstance(item["cat_idx"], int)
+
+    def test_deterministic_given_rng(self, sketchy_root):
+        ds = SketchyImageDataset(data_dir=sketchy_root)
+        a = ds.__getitem__(3, rng=np.random.default_rng(5))
+        b = ds.__getitem__(3, rng=np.random.default_rng(5))
+        assert a["paths"] == b["paths"]
+
+    def test_load_images_cache(self, sketchy_root):
+        ds = SketchyImageDataset(data_dir=sketchy_root, load_images=True)
+        assert len(ds._cache) == len(set(ds.sketch_lst) | set(ds.image_lst))
+        item = ds[1]
+        assert item["qry"].dtype == np.uint8
+
+    def test_original_image_dataset(self, tmp_path):
+        root = make_original_tree(str(tmp_path / "orig"))
+        ds = OriginalImageDataset(data_dir=root, pos_policy="prod",
+                                  neg_policy="except_cat")
+        item = ds[0]
+        assert item["qry"].shape == (64, 64, 3)
+        for p in item["paths"]["pos"]:
+            assert "pdf_detail" in p
+
+    def test_soft_image_dataset(self, tmp_path):
+        root = make_soft_tree(str(tmp_path / "soft"))
+        ds = TripletImageDataset(data_dir=root, pos_policy="prod",
+                                 neg_policy="except_cat")
+        item = ds[0]
+        assert item["qry"].shape == (64, 64, 3)
+
+    def test_triple_dataset(self, tmp_path):
+        photo_root, sketch_root = make_classfolder_tree(str(tmp_path / "cf"))
+        ds = TripleDataset(photo_root, sketch_root)
+        item = ds.__getitem__(0, rng=np.random.default_rng(0))
+        assert set(item) == {"P", "S", "N", "L"}
+        assert item["P"].shape == (64, 64, 3)
+        assert 0 <= item["L"] < len(ds.classes)
+
+
+class TestTripletLoader:
+    def test_batches(self, sketchy_root):
+        ds = SketchyImageDataset(data_dir=sketchy_root)
+        dl = TripletLoader(ds, batch_size=8, num_workers=2, seed=1)
+        batches = list(dl)
+        assert len(batches) == len(ds) // 8
+        b = batches[0]
+        assert b["qry"].shape == (8, 32, 32, 3)
+        assert b["pos"][0].shape == (8, 32, 32, 3)
+        assert b["cat_idx"].shape == (8,)
+        assert b["qry"].dtype == np.uint8
+
+    def test_epoch_determinism_and_reshuffle(self, sketchy_root):
+        ds = SketchyImageDataset(data_dir=sketchy_root)
+        dl = TripletLoader(ds, batch_size=8, num_workers=2, seed=1)
+        dl.set_epoch(0)
+        a = next(iter(dl))
+        dl.set_epoch(0)
+        b = next(iter(dl))
+        np.testing.assert_array_equal(a["qry"], b["qry"])
+        dl.set_epoch(1)
+        c = next(iter(dl))
+        assert not np.array_equal(a["qry"], c["qry"])
+
+    def test_host_resize(self, sketchy_root):
+        ds = SketchyImageDataset(data_dir=sketchy_root)
+        dl = TripletLoader(ds, batch_size=4, num_workers=1, host_size=24)
+        b = next(iter(dl))
+        assert b["qry"].shape == (4, 24, 24, 3)
