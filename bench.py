@@ -1,0 +1,92 @@
+"""Benchmark: fused gallery retrieval at 100k gallery (BASELINE.json config #5).
+
+Headline metric: retrieval queries/sec through the compiled cosine-topk path
+(L2-normalize + blocked MXU matmul + two-stage top-k, k=150 — the notebook
+ranking semantics) on a 100k x 1536 gallery (efficientnet_b3a embedding dim).
+
+``vs_baseline`` = our qps / the reference's eager per-query CPU loop
+(torch CosineSimilarity + torch.topk per query, inference semantics of
+training_analysis.ipynb cell 2), measured in-process on a query subsample.
+BASELINE.json's target is >=10x.
+
+Prints ONE json line:
+    {"metric": ..., "value": N, "unit": "queries/sec", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+GALLERY = 100_000
+DIM = 1536
+QUERIES = 2048
+K = 150
+REF_SAMPLE = 8  # queries to time for the torch reference loop
+
+
+def bench_tpu_retrieval() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from imageretrievalresearch_tpu.ops.retrieval import cosine_topk
+
+    rng = np.random.default_rng(0)
+    gallery = jnp.asarray(rng.normal(size=(GALLERY, DIM)).astype(np.float32))
+    queries = jnp.asarray(rng.normal(size=(QUERIES, DIM)).astype(np.float32))
+    gallery = jax.device_put(gallery)
+    queries = jax.device_put(queries)
+
+    def run():
+        v, i = cosine_topk(queries, gallery, K, query_block=512)
+        jax.block_until_ready(v)
+        return v, i
+
+    run()  # compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return QUERIES / best
+
+
+def bench_reference_cpu() -> float:
+    """The reference's eager loop: per query, torch cos against the full
+    gallery + topk (training_analysis.ipynb cell 2 / train/train.py:249-255)."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    gallery = torch.from_numpy(rng.normal(size=(GALLERY, DIM))
+                               .astype(np.float32))
+    queries = torch.from_numpy(rng.normal(size=(REF_SAMPLE, DIM))
+                               .astype(np.float32))
+    cos = torch.nn.CosineSimilarity(dim=1, eps=1e-6)
+    # warm once
+    torch.topk(cos(queries[0].unsqueeze(0), gallery), k=K)
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        for i in range(REF_SAMPLE):
+            vals, inds = torch.topk(cos(queries[i].unsqueeze(0), gallery),
+                                    k=K)
+    dt = time.perf_counter() - t0
+    return REF_SAMPLE / dt
+
+
+def main() -> None:
+    ref_qps = bench_reference_cpu()
+    qps = bench_tpu_retrieval()
+    print(json.dumps({
+        "metric": "retrieval_qps_100k_gallery_top150",
+        "value": round(qps, 2),
+        "unit": "queries/sec",
+        "vs_baseline": round(qps / ref_qps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,134 @@
+"""Training CLI — flag parity with reference train/train.py:480-498.
+
+Usage (same surface as README.md:100):
+
+    python -m imageretrievalresearch_tpu.cli.train \
+        --batch_size 64 --optimizer_name Adam --learning_rate 3e-4 \
+        --model_name efficientnet_b3a --ims_path /data/sketchy_database_256
+
+Recipe knobs that the reference hardcoded per script are exposed as extra
+flags (--cos_margin / --con_margin / --use_contrastive / --autoaugment),
+so T1-T5 are configs of one trainer rather than five scripts.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import yaml
+
+
+def _bool_or_none(v: str) -> bool | None:
+    # the reference used type=bool (always truthy for non-empty strings);
+    # we parse properly but accept the same spellings
+    if v in ("None", "none", ""):
+        return None
+    return v not in ("False", "false", "0")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Triplet Loss TPU (JAX) Training Arguments")
+    # reference flags (train/train.py:483-495), names/shorthands preserved
+    p.add_argument("-ed", "--expdir", default=None,
+                   help="Experiment directory")
+    p.add_argument("-sp", "--save_path", type=str, default="saved_models",
+                   help="Path to save trained models")
+    p.add_argument("-bs", "--batch_size", type=int, default=64)
+    p.add_argument("-d", "--device", type=str, default="tpu",
+                   help="Device (informational; JAX selects the backend)")
+    p.add_argument("-ip", "--ims_path", type=str, default="path/to/your/data")
+    p.add_argument("-mn", "--model_name", type=str, default="rexnet_150")
+    p.add_argument("-on", "--optimizer_name", type=str, default="Adam")
+    p.add_argument("-lr", "--learning_rate", type=float, default=4.7863e-03)
+    p.add_argument("-wd", "--weight_decay", type=float, default=1e-5)
+    p.add_argument("-ofm", "--only_feature_embeddings", type=_bool_or_none,
+                   default=True)
+    p.add_argument("-otl", "--only_target_labels", type=_bool_or_none,
+                   default=True)
+    # recipe knobs (hardcoded per reference script)
+    p.add_argument("--cos_margin", type=float, default=0.5)
+    p.add_argument("--con_margin", type=float, default=0.3)
+    p.add_argument("--use_contrastive", action="store_true",
+                   help="T3 recipe: add ContrastiveLoss")
+    p.add_argument("--autoaugment", action="store_true",
+                   help="AutoAugment ImageNetPolicy train transforms (T2/T3)")
+    p.add_argument("--split_json", type=str, default=None,
+                   help="train/val/test split json (see cli.data_split)")
+    p.add_argument("--dataset", type=str, default="sketchy",
+                   choices=["sketchy", "original", "soft"])
+    p.add_argument("--pos_policy", type=str, default="cat")
+    p.add_argument("--neg_policy", type=str, default="except_cat")
+    p.add_argument("--max_epochs", type=int, default=300)
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--wandb", action="store_true")
+    return p
+
+
+def run(args: argparse.Namespace) -> None:
+    # heavy imports deferred so --help is instant
+    from imageretrievalresearch_tpu.config import TrainConfig
+    from imageretrievalresearch_tpu.data import (
+        OriginalImageDataset,
+        SketchyImageDataset,
+        TripletImageDataset,
+        TripletLoader,
+    )
+    from imageretrievalresearch_tpu.models import create_model
+    from imageretrievalresearch_tpu.train import Trainer
+    from imageretrievalresearch_tpu.utils.logging import MetricLogger
+    import os
+
+    argstr = yaml.dump(vars(args), default_flow_style=False)
+    print(f"\nTraining Arguments:\n{argstr}")
+
+    cfg_fields = {f for f in TrainConfig.__dataclass_fields__}
+    cfg = TrainConfig(**{k: v for k, v in vars(args).items()
+                         if k in cfg_fields})
+    ds_cls = {"sketchy": SketchyImageDataset,
+              "original": OriginalImageDataset,
+              "soft": TripletImageDataset}[cfg.dataset]
+
+    def make_ds(split):
+        kw = dict(data_dir=cfg.ims_path, pos_policy=cfg.pos_policy,
+                  neg_policy=cfg.neg_policy)
+        if cfg.split_json:
+            kw.update(trainval_json=cfg.split_json, trainval=split)
+        return ds_cls(**kw)
+
+    tr_ds = make_ds("train")
+    val_ds = make_ds("val") if cfg.split_json else None
+    num_classes = tr_ds.get_cat_length()
+    print(f"Number of train set images: {len(tr_ds)}")
+    if val_ds:
+        print(f"Number of validation set images: {len(val_ds)}")
+    print(f"\nTrain dataset has {num_classes} classes")
+
+    train_loader = TripletLoader(tr_ds, cfg.batch_size, shuffle=True,
+                                 drop_last=True, num_workers=cfg.num_workers,
+                                 seed=cfg.seed, host_size=cfg.image_size)
+    val_loader = (TripletLoader(val_ds, cfg.batch_size, shuffle=True,
+                                drop_last=True, num_workers=cfg.num_workers,
+                                seed=cfg.seed + 1, host_size=cfg.image_size)
+                  if val_ds else None)
+
+    save_name = f"{cfg.model_name}_{cfg.optimizer_name}_{cfg.learning_rate}"
+    cfg.checkpoint_dir = os.path.join(cfg.save_path, save_name)
+    backbone = create_model(cfg.model_name, num_classes=num_classes,
+                            dtype=cfg.compute_dtype)
+    logger = MetricLogger(cfg.checkpoint_dir, use_wandb=cfg.wandb,
+                          run_name=save_name,
+                          log_every_n_steps=cfg.log_every_n_steps)
+    trainer = Trainer(cfg, backbone, train_loader, val_loader, logger=logger)
+    trainer.fit()
+
+
+def main() -> None:
+    run(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

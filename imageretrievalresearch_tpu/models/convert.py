@@ -1,0 +1,262 @@
+"""Checkpoint loading: torch/timm state-dict -> Flax conversion, orbax restore.
+
+Covers the reference's checkpoint surfaces:
+
+- PyTorch-Lightning ``.ckpt`` with a ``state_dict`` whose keys carry a
+  ``model.`` prefix that must be stripped (inference/inference.py:114-124) —
+  the published checkpoints (checkpoints/checkpoints_path.txt) are this kind;
+- plain torch ``.pth`` state dicts;
+- this framework's own orbax checkpoint directories.
+
+Tensor layout conversion: Conv OIHW -> HWIO (depthwise (C,1,k,k) ->
+(k,k,1,C)), Linear (out,in) -> (in,out), BatchNorm weight/bias ->
+scale/bias + running stats. Key mapping is per-family (timm naming, pinned
+by tests with synthetic torch state dicts; real-timm parity is validated
+when timm is importable).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# tensor layout
+# ---------------------------------------------------------------------------
+
+def _conv_kernel(w: np.ndarray, groups: int = 1) -> np.ndarray:
+    """torch OIHW -> flax HWIO ((k,k,in/groups,out); depthwise handled by
+    groups == out channels)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _linear_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (1, 0))
+
+
+def _tn(t) -> np.ndarray:
+    """torch tensor -> numpy (works for cpu tensors and numpy already)."""
+    if hasattr(t, "detach"):
+        return t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def strip_model_prefix(state_dict: dict) -> dict:
+    """Lightning 'model.' prefix strip (inference/inference.py:117-121)."""
+    return {k.replace("model.", "", 1) if k.startswith("model.") else k: v
+            for k, v in state_dict.items()}
+
+
+# ---------------------------------------------------------------------------
+# per-family key mapping: torch timm name -> (flax path tuple, kind)
+# kind: conv | dw_conv | linear | bn_scale | bn_bias | bn_mean | bn_var | bias
+# ---------------------------------------------------------------------------
+
+def _cba(dst: tuple, src: str, mapping: dict) -> None:
+    """timm ConvBnAct '<src>.conv.*' / '<src>.bn.*' -> our ConvBnAct dst."""
+    mapping[f"{src}.conv.weight"] = (dst + ("conv", "kernel"), "conv")
+    for t_suf, kind in (("weight", "bn_scale"), ("bias", "bn_bias"),
+                        ("running_mean", "bn_mean"),
+                        ("running_var", "bn_var")):
+        ours = {"bn_scale": "scale", "bn_bias": "bias",
+                "bn_mean": "mean", "bn_var": "var"}[kind]
+        mapping[f"{src}.bn.{t_suf}"] = (dst + ("bn", ours), kind)
+
+
+def _bare_conv_bn(dst: tuple, conv_src: str, bn_src: str,
+                  mapping: dict) -> None:
+    """timm bare 'convX.weight' + 'bnY.*' pair -> our ConvBnAct dst."""
+    mapping[f"{conv_src}.weight"] = (dst + ("conv", "kernel"), "conv")
+    for t_suf, ours, kind in (("weight", "scale", "bn_scale"),
+                              ("bias", "bias", "bn_bias"),
+                              ("running_mean", "mean", "bn_mean"),
+                              ("running_var", "var", "bn_var")):
+        mapping[f"{bn_src}.{t_suf}"] = (dst + ("bn", ours), kind)
+
+
+def efficientnet_key_map(width_mult: float, depth_mult: float) -> dict:
+    """timm EfficientNet naming -> our module paths.
+
+    timm blocks: stage 0 DepthwiseSeparable (conv_dw/bn1, se, conv_pw/bn2);
+    stages 1+ InvertedResidual (conv_pw/bn1, conv_dw/bn2, se, conv_pwl/bn3).
+    """
+    import math
+    from imageretrievalresearch_tpu.models.efficientnet import _B0_STAGES
+
+    m: dict = {}
+    ff = ("forward_features",)
+    _bare_conv_bn(ff + ("conv_stem",), "conv_stem", "bn1", m)
+    for sidx, (_, _, r, _, e) in enumerate(_B0_STAGES):
+        reps = int(math.ceil(depth_mult * r))
+        for i in range(reps):
+            t = f"blocks.{sidx}.{i}"
+            dst = ff + (f"blocks_{sidx}_{i}",)
+            if e == 1:
+                _bare_conv_bn(dst + ("conv_dw",), f"{t}.conv_dw", f"{t}.bn1", m)
+                m[f"{t}.se.conv_reduce.weight"] = (dst + ("se", "conv_reduce", "kernel"), "conv")
+                m[f"{t}.se.conv_reduce.bias"] = (dst + ("se", "conv_reduce", "bias"), "bias")
+                m[f"{t}.se.conv_expand.weight"] = (dst + ("se", "conv_expand", "kernel"), "conv")
+                m[f"{t}.se.conv_expand.bias"] = (dst + ("se", "conv_expand", "bias"), "bias")
+                _bare_conv_bn(dst + ("conv_pwl",), f"{t}.conv_pw", f"{t}.bn2", m)
+            else:
+                _bare_conv_bn(dst + ("conv_pw",), f"{t}.conv_pw", f"{t}.bn1", m)
+                _bare_conv_bn(dst + ("conv_dw",), f"{t}.conv_dw", f"{t}.bn2", m)
+                m[f"{t}.se.conv_reduce.weight"] = (dst + ("se", "conv_reduce", "kernel"), "conv")
+                m[f"{t}.se.conv_reduce.bias"] = (dst + ("se", "conv_reduce", "bias"), "bias")
+                m[f"{t}.se.conv_expand.weight"] = (dst + ("se", "conv_expand", "kernel"), "conv")
+                m[f"{t}.se.conv_expand.bias"] = (dst + ("se", "conv_expand", "bias"), "bias")
+                _bare_conv_bn(dst + ("conv_pwl",), f"{t}.conv_pwl", f"{t}.bn3", m)
+    _bare_conv_bn(ff + ("conv_head",), "conv_head", "bn2", m)
+    m["classifier.weight"] = (("head", "classifier", "kernel"), "linear")
+    m["classifier.bias"] = (("head", "classifier", "bias"), "bias")
+    return m
+
+
+def rexnet_key_map(width_mult: float, depth_mult: float,
+                   ch_div: int = 1) -> dict:
+    """timm RexNet naming -> our module paths.
+
+    timm: stem (ConvBnAct), features.{i} LinearBottleneck with
+    conv_exp/conv_dw (ConvBnAct) + SEWithNorm (fc1, bn, fc2) + conv_pwl;
+    features.{N} final ConvBnAct; head.fc Linear.
+    """
+    from imageretrievalresearch_tpu.models.rexnet import rexnet_block_cfg
+
+    m: dict = {}
+    ff = ("forward_features",)
+    _cba(ff + ("stem",), "stem", m)
+    cfg = rexnet_block_cfg(width_mult, depth_mult, ch_div=ch_div)
+    for i, (_, e, _, se) in enumerate(cfg):
+        t = f"features.{i}"
+        dst = ff + (f"features_{i}",)
+        if e != 1:
+            _cba(dst + ("conv_exp",), f"{t}.conv_exp", m)
+        _cba(dst + ("conv_dw",), f"{t}.conv_dw", m)
+        if se > 0:
+            m[f"{t}.se.fc1.weight"] = (dst + ("se", "conv_reduce", "kernel"), "conv")
+            _bn = dst + ("se", "bn")
+            for t_suf, ours, kind in (("weight", "scale", "bn_scale"),
+                                      ("bias", "bias", "bn_bias"),
+                                      ("running_mean", "mean", "bn_mean"),
+                                      ("running_var", "var", "bn_var")):
+                m[f"{t}.se.bn.{t_suf}"] = (_bn + (ours,), kind)
+            m[f"{t}.se.fc2.weight"] = (dst + ("se", "conv_expand", "kernel"), "conv")
+            m[f"{t}.se.fc2.bias"] = (dst + ("se", "conv_expand", "bias"), "bias")
+    _cba(ff + ("final_conv",), f"features.{len(cfg)}", m)
+    m["head.fc.weight"] = (("head", "fc", "kernel"), "linear")
+    m["head.fc.bias"] = (("head", "fc", "bias"), "bias")
+    return m
+
+
+_FAMILY_MAPPERS = {
+    r"^efficientnet": lambda net: efficientnet_key_map(net.width_mult,
+                                                       net.depth_mult),
+    r"^rexnet": lambda net: rexnet_key_map(net.width_mult, net.depth_mult,
+                                           net.ch_div),
+}
+
+
+def key_map_for(backbone) -> dict:
+    for pat, fn in _FAMILY_MAPPERS.items():
+        if re.match(pat, backbone.name):
+            return fn(backbone.net)
+    raise NotImplementedError(
+        f"no torch key mapping for family of {backbone.name!r} yet")
+
+
+# ---------------------------------------------------------------------------
+# conversion
+# ---------------------------------------------------------------------------
+
+def convert_torch_state_dict(state_dict: dict, backbone,
+                             variables: dict, *, strict: bool = True) -> dict:
+    """Map a (prefix-stripped) torch state dict onto freshly-initialized
+    variables, with shape checks. Returns updated variables."""
+    mapping = key_map_for(backbone)
+    params = jax.tree.map(np.asarray, variables["net"]["params"])
+    stats = jax.tree.map(np.asarray,
+                         variables["net"].get("batch_stats", {}))
+    used, missing = set(), []
+
+    def assign(tree: dict, path: tuple, value: np.ndarray, torch_key: str):
+        node = tree
+        for p in path[:-1]:
+            if p not in node:
+                raise KeyError(f"{torch_key}: no flax path {path}")
+            node = node[p]
+        leaf = path[-1]
+        if leaf not in node:
+            raise KeyError(f"{torch_key}: no flax leaf {path}")
+        if node[leaf].shape != value.shape:
+            raise ValueError(
+                f"{torch_key}: shape {value.shape} != flax {path} "
+                f"{node[leaf].shape}")
+        node[leaf] = value.astype(node[leaf].dtype)
+
+    for tkey, (path, kind) in mapping.items():
+        if tkey not in state_dict:
+            missing.append(tkey)
+            continue
+        val = _tn(state_dict[tkey])
+        if kind == "conv":
+            val = _conv_kernel(val)
+        elif kind == "linear":
+            val = _linear_kernel(val)
+        if kind in ("bn_mean", "bn_var"):
+            assign(stats, path, val, tkey)
+        else:
+            assign(params, path, val, tkey)
+        used.add(tkey)
+
+    extra = set(state_dict) - used
+    if strict and (missing or extra):
+        raise ValueError(
+            f"state dict mismatch: missing={missing[:8]} "
+            f"unused={sorted(extra)[:8]}")
+
+    out = dict(variables)
+    net = dict(variables["net"])
+    net["params"] = jax.tree.map(jnp.asarray, params)
+    if stats:
+        net["batch_stats"] = jax.tree.map(jnp.asarray, stats)
+    out["net"] = net
+    return out
+
+
+def load_checkpoint(checkpoint_path: str, backbone,
+                    *, sample_shape: tuple = (1, 224, 224, 3),
+                    from_pytorch_lightning: bool = True,
+                    strict: bool = True, seed: int = 0) -> dict:
+    """timm/PL/orbax-agnostic load (reference load_checkpoint,
+    inference/inference.py:77-149). Empty path -> random init (the
+    reference's pretrained=False branch)."""
+    rng = jax.random.key(seed)
+    variables = backbone.init(rng, jnp.zeros(sample_shape))
+    if not checkpoint_path:
+        print(f"Model {backbone.name} randomly initialized "
+              "(no checkpoint given)")
+        return variables
+    if os.path.isdir(checkpoint_path):  # our orbax layout
+        import orbax.checkpoint as ocp
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(checkpoint_path),
+                                 variables)
+        print(f"Model {backbone.name} orbax checkpoint loaded")
+        return restored
+    import torch
+    payload = torch.load(checkpoint_path, map_location="cpu",
+                         weights_only=False)
+    state_dict = payload.get("state_dict", payload) \
+        if isinstance(payload, dict) else payload
+    if from_pytorch_lightning:
+        state_dict = strip_model_prefix(state_dict)
+    variables = convert_torch_state_dict(state_dict, backbone, variables,
+                                         strict=strict)
+    print(f"Model {backbone.name} trained checkpoint successfully converted")
+    return variables

@@ -1,0 +1,418 @@
+"""AutoAugment ImageNetPolicy in pure JAX — batched, jit-compiled, PRNG-keyed.
+
+The reference applies ``AutoAugment.ImageNetPolicy()`` inside its torchvision
+Compose pipelines (train/train_efficientnet.py:49-64); the artifact itself is
+a missing blob (.MISSING_LARGE_BLOBS:13) containing the well-known public
+pure-PIL AutoAugment policies, so behavior follows that public reference:
+25 sub-policies of two (op, probability, magnitude-index) steps each,
+fill color (128, 128, 128).
+
+PIL-semantics notes (pinned by tests against Pillow in tests/test_autoaugment.py):
+
+- LUT ops (posterize / solarize / invert / equalize / autocontrast) are
+  integer-exact vs PIL.
+- Enhancement ops (color / contrast / brightness / sharpness) blend
+  ``degenerate + f·(img − degenerate)`` with PIL's fixed-point L conversion
+  and SMOOTH-filter border behavior (1px border untouched); ±1 quantization
+  tolerance vs PIL.
+- Geometric ops: shear is a 1-D cubic (Catmull-Rom, PIL BICUBIC) resample
+  along one axis; translate is NEAREST; rotate is NEAREST about the image
+  center with gray fill (PIL rotate_with_fill semantics).
+
+Everything is shape-static and branchless (``lax.switch`` over the op table),
+so one compiled program augments a whole batch on device — the reference runs
+these per-sample in Python DataLoader workers (SURVEY.md hard part #5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FILL = 128
+
+# op ids
+SHEAR_X, SHEAR_Y, TRANSLATE_X, TRANSLATE_Y, ROTATE = 0, 1, 2, 3, 4
+COLOR, POSTERIZE, SOLARIZE, CONTRAST, SHARPNESS = 5, 6, 7, 8, 9
+BRIGHTNESS, AUTOCONTRAST, EQUALIZE, INVERT = 10, 11, 12, 13
+_NUM_OPS = 14
+
+_OP_IDS = {
+    "shearX": SHEAR_X, "shearY": SHEAR_Y, "translateX": TRANSLATE_X,
+    "translateY": TRANSLATE_Y, "rotate": ROTATE, "color": COLOR,
+    "posterize": POSTERIZE, "solarize": SOLARIZE, "contrast": CONTRAST,
+    "sharpness": SHARPNESS, "brightness": BRIGHTNESS,
+    "autocontrast": AUTOCONTRAST, "equalize": EQUALIZE, "invert": INVERT,
+}
+
+# the public ImageNetPolicy sub-policy table:
+# ((op1, p1, mag_idx1), (op2, p2, mag_idx2)) x 25
+IMAGENET_SUBPOLICIES = [
+    (("posterize", 0.4, 8), ("rotate", 0.6, 9)),
+    (("solarize", 0.6, 5), ("autocontrast", 0.6, 5)),
+    (("equalize", 0.8, 8), ("equalize", 0.6, 3)),
+    (("posterize", 0.6, 7), ("posterize", 0.6, 6)),
+    (("equalize", 0.4, 7), ("solarize", 0.2, 4)),
+    (("equalize", 0.4, 4), ("rotate", 0.8, 8)),
+    (("solarize", 0.6, 3), ("equalize", 0.6, 7)),
+    (("posterize", 0.8, 5), ("equalize", 1.0, 2)),
+    (("rotate", 0.2, 3), ("solarize", 0.6, 8)),
+    (("equalize", 0.6, 8), ("posterize", 0.4, 6)),
+    (("rotate", 0.8, 8), ("color", 0.4, 0)),
+    (("rotate", 0.4, 9), ("equalize", 0.6, 2)),
+    (("equalize", 0.0, 7), ("equalize", 0.8, 8)),
+    (("invert", 0.6, 4), ("equalize", 1.0, 8)),
+    (("color", 0.6, 4), ("contrast", 1.0, 8)),
+    (("rotate", 0.8, 8), ("color", 1.0, 2)),
+    (("color", 0.8, 8), ("solarize", 0.8, 7)),
+    (("sharpness", 0.4, 7), ("invert", 0.6, 8)),
+    (("shearX", 0.6, 5), ("equalize", 1.0, 9)),
+    (("color", 0.4, 0), ("equalize", 0.6, 3)),
+    (("equalize", 0.4, 7), ("solarize", 0.2, 4)),
+    (("solarize", 0.6, 5), ("autocontrast", 0.6, 5)),
+    (("invert", 0.6, 4), ("equalize", 1.0, 8)),
+    (("color", 0.6, 4), ("contrast", 1.0, 8)),
+    (("equalize", 0.8, 8), ("equalize", 0.6, 3)),
+]
+
+
+def _magnitude_table() -> np.ndarray:
+    """(num_ops, 10) magnitude value per op per magnitude index."""
+    t = np.zeros((_NUM_OPS, 10), dtype=np.float32)
+    t[SHEAR_X] = t[SHEAR_Y] = np.linspace(0, 0.3, 10)
+    t[TRANSLATE_X] = t[TRANSLATE_Y] = np.linspace(0, 150 / 331, 10)
+    t[ROTATE] = np.linspace(0, 30, 10)
+    for op in (COLOR, CONTRAST, SHARPNESS, BRIGHTNESS):
+        t[op] = np.linspace(0.0, 0.9, 10)
+    t[POSTERIZE] = np.round(np.linspace(8, 4, 10), 0)
+    t[SOLARIZE] = np.linspace(256, 0, 10)
+    return t
+
+
+_MAGS = _magnitude_table()
+# per-op: does the magnitude get a random sign?
+_SIGNED = np.zeros(_NUM_OPS, dtype=np.float32)
+for _op in (SHEAR_X, SHEAR_Y, TRANSLATE_X, TRANSLATE_Y, ROTATE,
+            COLOR, CONTRAST, SHARPNESS, BRIGHTNESS):
+    _SIGNED[_op] = 1.0
+
+
+def _policy_arrays() -> tuple[np.ndarray, ...]:
+    ops = np.zeros((25, 2), dtype=np.int32)
+    probs = np.zeros((25, 2), dtype=np.float32)
+    mags = np.zeros((25, 2), dtype=np.float32)
+    for i, (s1, s2) in enumerate(IMAGENET_SUBPOLICIES):
+        for j, (name, p, mi) in enumerate((s1, s2)):
+            op = _OP_IDS[name]
+            ops[i, j] = op
+            probs[i, j] = p
+            mags[i, j] = _MAGS[op, mi]
+    return ops, probs, mags
+
+
+_POLICY_OPS, _POLICY_PROBS, _POLICY_MAGS = _policy_arrays()
+
+
+# ---------------------------------------------------------------------------
+# pointwise / LUT ops (uint8-exact vs PIL)
+# ---------------------------------------------------------------------------
+
+def _apply_lut(img: jax.Array, lut: jax.Array) -> jax.Array:
+    """img (H,W,3) uint8, lut (3,256) or (256,) -> uint8."""
+    if lut.ndim == 1:
+        return lut[img.astype(jnp.int32)].astype(jnp.uint8)
+    gathered = jnp.take_along_axis(
+        lut.T[None], img.astype(jnp.int32), axis=-1)  # lut.T (256,3)
+    return gathered.astype(jnp.uint8)
+
+
+def op_invert(img, mag):
+    return (255 - img.astype(jnp.int32)).astype(jnp.uint8)
+
+
+def op_posterize(img, bits):
+    bits = bits.astype(jnp.int32)
+    mask = (255 << (8 - bits)) & 255
+    return (img.astype(jnp.int32) & mask).astype(jnp.uint8)
+
+
+def op_solarize(img, threshold):
+    v = img.astype(jnp.int32)
+    return jnp.where(v < threshold, v, 255 - v).astype(jnp.uint8)
+
+
+def _channel_hist(chan: jax.Array) -> jax.Array:
+    """(H,W) uint8 -> (256,) counts."""
+    return jnp.zeros(256, jnp.int32).at[chan.astype(jnp.int32).ravel()].add(1)
+
+
+def op_equalize(img, mag):
+    """PIL ImageOps.equalize integer algorithm, per channel."""
+
+    def eq_channel(chan):
+        h = _channel_hist(chan)
+        nz = h > 0
+        # histo[-1] = count of the highest nonzero bin
+        last_nz = 255 - jnp.argmax(nz[::-1])
+        h_last = h[last_nz]
+        total = jnp.sum(h)
+        step = (total - h_last) // 255
+        # lut[i] = (step//2 + sum_{j<i} h[j]) // step
+        csum = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                jnp.cumsum(h)[:-1]])
+        lut = jnp.where(step > 0,
+                        jnp.clip((step // 2 + csum) // jnp.maximum(step, 1),
+                                 0, 255),
+                        jnp.arange(256))
+        return lut[chan.astype(jnp.int32)]
+
+    out = jnp.stack([eq_channel(img[..., c]) for c in range(3)], axis=-1)
+    return out.astype(jnp.uint8)
+
+
+def op_autocontrast(img, mag):
+    """PIL ImageOps.autocontrast (cutoff 0), per channel."""
+
+    def ac_channel(chan):
+        v = chan.astype(jnp.int32)
+        lo = jnp.min(v)
+        hi = jnp.max(v)
+        # integer form of int(ix*scale + offset): (ix-lo)*255 // (hi-lo);
+        # matches PIL's float64 math to >=99.8% of LUT entries (+-1 LSB on
+        # the rest -- PIL's two-step f64 rounding is not reproducible in f32)
+        num = (jnp.arange(256) - lo) * 255
+        den = jnp.maximum(hi - lo, 1)
+        lut = jnp.clip(jnp.where(num >= 0, num // den,
+                                 -((-num) // den)), 0, 255)
+        lut = jnp.where(hi > lo, lut, jnp.arange(256))
+        return lut[v]
+
+    out = jnp.stack([ac_channel(img[..., c]) for c in range(3)], axis=-1)
+    return out.astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# enhancement ops (PIL ImageEnhance.X.enhance(1 + signed_mag))
+# ---------------------------------------------------------------------------
+
+def _pil_gray(img: jax.Array) -> jax.Array:
+    """PIL convert('L') fixed-point luma: (R*19595+G*38470+B*7471+0x8000)>>16."""
+    v = img.astype(jnp.int32)
+    l = (v[..., 0] * 19595 + v[..., 1] * 38470 + v[..., 2] * 7471
+         + 0x8000) >> 16
+    return l  # (H, W) int32
+
+
+def _blend(degenerate: jax.Array, img: jax.Array, factor: jax.Array
+           ) -> jax.Array:
+    """PIL Image.blend/enhance: degenerate + factor*(img - degenerate),
+    clipped; float32 math."""
+    d = degenerate.astype(jnp.float32)
+    out = d + factor * (img.astype(jnp.float32) - d)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def op_color(img, factor):
+    gray = _pil_gray(img)[..., None]
+    degenerate = jnp.broadcast_to(gray, img.shape)
+    return _blend(degenerate, img, factor)
+
+
+def op_contrast(img, factor):
+    # PIL: mean = int(Stat(L).mean + 0.5), solid-gray degenerate
+    gray = _pil_gray(img)
+    mean = jnp.floor(jnp.mean(gray.astype(jnp.float32)) + 0.5)
+    degenerate = jnp.full(img.shape, mean, dtype=jnp.float32)
+    return _blend(degenerate, img, factor)
+
+
+def op_brightness(img, factor):
+    return _blend(jnp.zeros_like(img), img, factor)
+
+
+def op_sharpness(img, factor):
+    # degenerate = ImageFilter.SMOOTH: 3x3 [[1,1,1],[1,5,1],[1,1,1]]/13,
+    # 1px border left unfiltered (PIL filters skip the border)
+    v = img.astype(jnp.float32)
+    kernel = jnp.asarray([[1., 1., 1.], [1., 5., 1.], [1., 1., 1.]]) / 13.0
+    smoothed = jax.lax.conv_general_dilated(
+        v.transpose(2, 0, 1)[:, None],             # (C,1,H,W)
+        kernel[None, None],                        # (1,1,3,3)
+        window_strides=(1, 1), padding="VALID")[:, 0]  # (C,H-2,W-2)
+    smoothed = jnp.clip(smoothed + 0.5, 0, 255).astype(jnp.int32)  # PIL rounds
+    smoothed = smoothed.astype(jnp.float32).transpose(1, 2, 0)
+    degenerate = v.at[1:-1, 1:-1].set(smoothed)
+    return _blend(degenerate, img, factor)
+
+
+# ---------------------------------------------------------------------------
+# geometric ops
+# ---------------------------------------------------------------------------
+
+def _cubic_kernel(s: jax.Array) -> jax.Array:
+    """PIL *geometry* bicubic kernel (Geometry.c, a = -1.0 — the legacy
+    kernel used by Image.transform/rotate, NOT the a=-0.5 resize filter;
+    verified by impulse response in tests)."""
+    a = -1.0
+    s = jnp.abs(s)
+    return jnp.where(
+        s < 1.0, ((a + 2) * s - (a + 3)) * s * s + 1,
+        jnp.where(s < 2.0, (((s - 5) * s + 8) * s - 4) * a, 0.0))
+
+
+def _shear_1d(img: jax.Array, v: jax.Array, axis: int) -> jax.Array:
+    """PIL AFFINE shear with BICUBIC resampling along one axis.
+
+    shearX (axis=1): src_x = x + v*y (PIL samples at out+0.5 then -0.5);
+    1-D cubic along x with gray fill outside.
+    """
+    h, w, _ = img.shape
+    vf = img.astype(jnp.float32)
+    if axis == 1:
+        ys = jnp.arange(h, dtype=jnp.float32)
+        src = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5
+               + v * (ys[:, None] + 0.5)) - 0.5          # (H, W) src x
+        base = jnp.floor(src).astype(jnp.int32)
+        frac = src - base
+        out = jnp.zeros_like(vf)
+        wsum = jnp.zeros((h, w, 1), jnp.float32)
+        for tap in (-1, 0, 1, 2):
+            idx = base + tap
+            inside = (idx >= 0) & (idx <= w - 1)
+            wt = _cubic_kernel(frac - tap)[..., None]
+            pix = jnp.take_along_axis(
+                vf, jnp.clip(idx, 0, w - 1)[..., None], axis=1)
+            pix = jnp.where(inside[..., None], pix, FILL)
+            out = out + wt * pix
+            wsum = wsum + wt
+        valid = (src >= -0.5) & (src <= w - 0.5)
+        out = out / jnp.maximum(wsum, 1e-8)
+        out = jnp.where(valid[..., None], out, FILL)
+        return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    else:
+        return jnp.transpose(
+            _shear_1d(jnp.transpose(img, (1, 0, 2)), v, 1), (1, 0, 2))
+
+
+def _translate(img: jax.Array, pixels: jax.Array, axis: int) -> jax.Array:
+    """PIL AFFINE translate with NEAREST: src = out + pixels, gray fill."""
+    h, w, _ = img.shape
+    n = w if axis == 1 else h
+    coords = jnp.arange(n, dtype=jnp.float32)
+    src = coords + pixels                   # NEAREST: PIL truncates int(x)
+    idx = jnp.floor(src + 0.5).astype(jnp.int32)
+    inside = (idx >= 0) & (idx <= n - 1)
+    idxc = jnp.clip(idx, 0, n - 1)
+    if axis == 1:
+        out = img[:, idxc]
+        out = jnp.where(inside[None, :, None], out, FILL)
+    else:
+        out = img[idxc]
+        out = jnp.where(inside[:, None, None], out, FILL)
+    return out.astype(jnp.uint8)
+
+
+def _rotate(img: jax.Array, degrees: jax.Array) -> jax.Array:
+    """PIL Image.rotate(angle) (CCW, NEAREST, about center) with gray fill
+    (rotate_with_fill composite semantics)."""
+    h, w, _ = img.shape
+    # PIL negates the angle before building the output->input affine matrix
+    # (Image.rotate: ``angle = -math.radians(angle)``)
+    theta = -jnp.deg2rad(degrees)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    cx, cy = w / 2.0, h / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5 - cy
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5 - cx
+    src_x = cos * xs + sin * ys + cx - 0.5
+    src_y = -sin * xs + cos * ys + cy - 0.5
+    ix = jnp.floor(src_x + 0.5).astype(jnp.int32)
+    iy = jnp.floor(src_y + 0.5).astype(jnp.int32)
+    inside = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
+    out = img[jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1)]
+    return jnp.where(inside[..., None], out, FILL).astype(jnp.uint8)
+
+
+def op_shear_x(img, mag):
+    return _shear_1d(img, mag, axis=1)
+
+
+def op_shear_y(img, mag):
+    return _shear_1d(img, mag, axis=0)
+
+
+def op_translate_x(img, mag):
+    return _translate(img, mag * img.shape[1], axis=1)
+
+
+def op_translate_y(img, mag):
+    return _translate(img, mag * img.shape[0], axis=0)
+
+
+def op_rotate(img, mag):
+    return _rotate(img, mag)
+
+
+_OP_FNS = [None] * _NUM_OPS
+_OP_FNS[SHEAR_X] = op_shear_x
+_OP_FNS[SHEAR_Y] = op_shear_y
+_OP_FNS[TRANSLATE_X] = op_translate_x
+_OP_FNS[TRANSLATE_Y] = op_translate_y
+_OP_FNS[ROTATE] = op_rotate
+_OP_FNS[COLOR] = op_color
+_OP_FNS[POSTERIZE] = op_posterize
+_OP_FNS[SOLARIZE] = op_solarize
+_OP_FNS[CONTRAST] = op_contrast
+_OP_FNS[SHARPNESS] = op_sharpness
+_OP_FNS[BRIGHTNESS] = op_brightness
+_OP_FNS[AUTOCONTRAST] = op_autocontrast
+_OP_FNS[EQUALIZE] = op_equalize
+_OP_FNS[INVERT] = op_invert
+
+
+def apply_op(img: jax.Array, op_id: jax.Array, mag: jax.Array,
+             sign: jax.Array) -> jax.Array:
+    """Dispatch one op. Enhancement ops get factor 1 + sign*mag; geometric
+    ops get sign*mag; unsigned ops ignore the sign."""
+    signed = jnp.asarray(_SIGNED)[op_id]
+    geo = sign * mag
+    enh = 1.0 + sign * mag
+
+    def branch(i):
+        fn = _OP_FNS[i]
+        if i in (COLOR, CONTRAST, SHARPNESS, BRIGHTNESS):
+            return lambda im: fn(im, enh)
+        if i in (SHEAR_X, SHEAR_Y, TRANSLATE_X, TRANSLATE_Y, ROTATE):
+            return lambda im: fn(im, geo)
+        return lambda im: fn(im, mag)
+
+    del signed
+    return jax.lax.switch(op_id, [branch(i) for i in range(_NUM_OPS)], img)
+
+
+def imagenet_policy(img: jax.Array, key: jax.Array) -> jax.Array:
+    """Apply one random ImageNetPolicy sub-policy to one (H, W, 3) uint8 image."""
+    k_pol, k_p1, k_p2, k_s1, k_s2 = jax.random.split(key, 5)
+    pol = jax.random.randint(k_pol, (), 0, len(IMAGENET_SUBPOLICIES))
+    ops = jnp.asarray(_POLICY_OPS)[pol]          # (2,)
+    probs = jnp.asarray(_POLICY_PROBS)[pol]
+    mags = jnp.asarray(_POLICY_MAGS)[pol]
+    s1 = jnp.where(jax.random.bernoulli(k_s1), 1.0, -1.0)
+    s2 = jnp.where(jax.random.bernoulli(k_s2), 1.0, -1.0)
+
+    def maybe(img, do, op, mag, sign):
+        return jax.lax.cond(do, lambda im: apply_op(im, op, mag, sign),
+                            lambda im: im, img)
+
+    img = maybe(img, jax.random.uniform(k_p1) < probs[0], ops[0], mags[0], s1)
+    img = maybe(img, jax.random.uniform(k_p2) < probs[1], ops[1], mags[1], s2)
+    return img
+
+
+@jax.jit
+def imagenet_policy_batch(images: jax.Array, key: jax.Array) -> jax.Array:
+    """(B, H, W, 3) uint8 + key -> augmented uint8 batch (vmapped policies)."""
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(imagenet_policy)(images, keys)

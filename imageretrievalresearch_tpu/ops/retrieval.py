@@ -1,0 +1,179 @@
+"""Fused gallery retrieval: cosine-similarity matmul + top-k, TPU-first.
+
+The reference ranks galleries with an eager per-query Python loop
+(``for idx, fm in enumerate(fms_ims_all): topk(cos(fm, fms_poss_all), k=150)``,
+inference/training_analysis.ipynb cell 2; same shape at
+inference/inference.py:223-242 and the in-batch loop train/train.py:249-255).
+Here the whole ranking is one compiled program:
+
+1. L2-normalize queries and gallery (torch CosineSimilarity eps semantics).
+2. Blockwise ``Q·Gᵀ`` on the MXU — optionally via a Pallas kernel that fuses
+   the gallery normalization into the matmul epilogue so the normalized
+   gallery is never materialized in HBM.
+3. Two-stage top-k: per-chunk ``lax.top_k`` then a merge top-k — avoids
+   XLA's full-width sort over 100k columns, which dominates at large G.
+
+Queries are processed in fixed-size blocks under ``lax.map`` so HBM use is
+O(query_block × G), letting 100k+ galleries stream (BASELINE.json config #5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from imageretrievalresearch_tpu.losses import COSINE_SIM_EPS
+
+
+def l2_normalize(x: jax.Array, *, eps: float = COSINE_SIM_EPS) -> jax.Array:
+    """Row-normalize so that q̂·ĝ == torch cosine sim (norms clamped at √eps
+    each, which composes to the reference's max(|q||g|, eps) denominator for
+    the non-degenerate case)."""
+    x = x.astype(jnp.float32)
+    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def chunked_topk(sims: jax.Array, k: int, *, chunk: int = 2048
+                 ) -> tuple[jax.Array, jax.Array]:
+    """Two-stage top-k over the last axis of (B, G).
+
+    Stage 1 takes top-k within each ``chunk``-wide slice; stage 2 merges the
+    B × (G/chunk × k) candidates. Equivalent to ``lax.top_k(sims, k)`` but
+    avoids a full-width sort (ties broken by index order within stages,
+    matching torch.topk's stable largest-first semantics for distinct values).
+    """
+    b, g = sims.shape
+    if g <= chunk or g <= k:
+        return jax.lax.top_k(sims, min(k, g))
+    n_chunks = -(-g // chunk)
+    pad = n_chunks * chunk - g
+    if pad:
+        sims = jnp.pad(sims, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    s = sims.reshape(b, n_chunks, chunk)
+    kk = min(k, chunk)
+    vals, inds = jax.lax.top_k(s, kk)                    # (B, n_chunks, kk)
+    base = (jnp.arange(n_chunks, dtype=inds.dtype) * chunk)[None, :, None]
+    inds = inds + base
+    vals = vals.reshape(b, n_chunks * kk)
+    inds = inds.reshape(b, n_chunks * kk)
+    mvals, mpos = jax.lax.top_k(vals, k)                 # (B, k)
+    minds = jnp.take_along_axis(inds, mpos, axis=1)
+    return mvals, minds
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel: normalize-gallery + matmul scores
+# ---------------------------------------------------------------------------
+
+def _scores_kernel(q_ref, g_ref, out_ref):
+    """One (Q_TILE, G_TILE) score block: normalize the gallery tile in VMEM,
+    then MXU matmul against pre-normalized queries."""
+    g = g_ref[:].astype(jnp.float32)                     # (G_TILE, D)
+    norm = jnp.sqrt(jnp.sum(g * g, axis=1, keepdims=True))
+    g_hat = g / jnp.maximum(norm, COSINE_SIM_EPS)
+    q = q_ref[:].astype(jnp.float32)                     # (Q_TILE, D)
+    out_ref[:] = jax.lax.dot_general(
+        q, g_hat, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def pallas_cosine_scores(queries_hat: jax.Array, gallery: jax.Array,
+                         *, q_tile: int = 128, g_tile: int = 512,
+                         interpret: bool = False) -> jax.Array:
+    """(Q, D) normalized queries × (G, D) raw gallery -> (Q, G) cosine sims.
+
+    Fuses the gallery L2-normalization into the score kernel so ĝ never
+    round-trips through HBM. D is kept whole per tile (embedding dims here
+    are 1280-1920 floats — a (512, 1920) f32 tile is ~3.9 MB, well within
+    VMEM with double buffering).
+    """
+    q, d = queries_hat.shape
+    g = gallery.shape[0]
+    qp, gp = _round_up(q, q_tile), _round_up(g, g_tile)
+    qh = jnp.pad(queries_hat.astype(jnp.float32), ((0, qp - q), (0, 0)))
+    gh = jnp.pad(gallery.astype(jnp.float32), ((0, gp - g), (0, 0)))
+
+    out = pl.pallas_call(
+        _scores_kernel,
+        grid=(qp // q_tile, gp // g_tile),
+        in_specs=[
+            pl.BlockSpec((q_tile, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_tile, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((q_tile, g_tile), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, gp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * gp * d + 3 * gp * d,
+            bytes_accessed=(qp * d + gp * d + qp * gp) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(qh, gh)
+    return out[:q, :g]
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "query_block", "use_pallas",
+                                    "interpret"))
+def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
+                *, query_block: int = 512, use_pallas: bool = False,
+                interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Top-k cosine retrieval: (Q, D) × (G, D) -> (vals, inds) each (Q, k).
+
+    The compiled replacement for the reference's per-query loop. Queries
+    stream through in ``query_block`` chunks; the (block, G) score matrix is
+    transient. ``use_pallas`` routes scores through the fused Pallas kernel
+    (TPU; ``interpret=True`` for CPU testing).
+    """
+    q, d = queries.shape
+    g = gallery.shape[0]
+    k = min(k, g)
+    q_hat = l2_normalize(queries)
+    if use_pallas:
+        g_for_scores = gallery.astype(jnp.float32)
+    else:
+        g_for_scores = l2_normalize(gallery)
+
+    qb = min(query_block, _round_up(q, 8))
+    qp = _round_up(q, qb)
+    q_pad = jnp.pad(q_hat, ((0, qp - q), (0, 0)))
+    blocks = q_pad.reshape(qp // qb, qb, d)
+
+    def rank_block(qblk):
+        if use_pallas:
+            sims = pallas_cosine_scores(qblk, g_for_scores,
+                                        interpret=interpret)
+        else:
+            sims = qblk @ g_for_scores.T
+        return chunked_topk(sims, k)
+
+    vals, inds = jax.lax.map(rank_block, blocks)
+    vals = vals.reshape(qp, k)[:q]
+    inds = inds.reshape(qp, k)[:q]
+    return vals, inds
+
+
+def cosine_scores(queries: jax.Array, gallery: jax.Array,
+                  *, use_pallas: bool = False,
+                  interpret: bool = False) -> jax.Array:
+    """Full (Q, G) cosine matrix (for small galleries / in-batch metrics)."""
+    q_hat = l2_normalize(queries)
+    if use_pallas:
+        return pallas_cosine_scores(q_hat, gallery.astype(jnp.float32),
+                                    interpret=interpret)
+    return q_hat @ l2_normalize(gallery).T

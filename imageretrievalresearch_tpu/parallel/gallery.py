@@ -1,0 +1,54 @@
+"""Distributed gallery retrieval: shard the gallery, all-gather the top-k.
+
+For galleries beyond one chip's HBM (or to cut latency linearly), shard the
+gallery rows across the ``data`` axis, rank locally against replicated
+queries, then merge each device's local top-k with one small ``all_gather``
+over ICI — k×devices candidates per query instead of the full gallery
+(SURVEY.md §5 long-context analog: "scaling gallery size").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from imageretrievalresearch_tpu.ops.retrieval import chunked_topk, l2_normalize
+
+
+def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
+                        mesh: Mesh, *, axis_name: str = "data"
+                        ) -> tuple[jax.Array, jax.Array]:
+    """(Q, D) × (G, D) -> global (vals, inds) with the gallery sharded on
+    ``axis_name``. Gallery rows must divide the mesh (pad upstream)."""
+    n_dev = mesh.shape[axis_name]
+    g = gallery.shape[0]
+    assert g % n_dev == 0, "pad gallery to a multiple of the mesh size"
+    shard = g // n_dev
+
+    def local_rank(q_hat, g_local):
+        # g_local: (shard, D) on each device
+        sims = q_hat @ l2_normalize(g_local).T
+        vals, inds = chunked_topk(sims, min(k, shard))
+        # localize -> globalize indices by shard offset
+        offset = jax.lax.axis_index(axis_name) * shard
+        return vals, inds + offset
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(axis_name, None)),
+        out_specs=(P(axis_name), P(axis_name)))
+    def ranked(q_hat, g_shard):
+        vals, inds = local_rank(q_hat, g_shard)
+        return vals[None], inds[None]     # leading device axis for gather
+
+    q_hat = l2_normalize(queries)
+    vals, inds = ranked(q_hat, gallery)   # (n_dev, Q, k_local) each
+    # merge: concatenate device candidates, re-top-k (tiny: n_dev*k per query)
+    vals = jnp.swapaxes(vals, 0, 1).reshape(queries.shape[0], -1)
+    inds = jnp.swapaxes(inds, 0, 1).reshape(queries.shape[0], -1)
+    mvals, mpos = jax.lax.top_k(vals, min(k, vals.shape[1]))
+    minds = jnp.take_along_axis(inds, mpos, axis=1)
+    return mvals, minds

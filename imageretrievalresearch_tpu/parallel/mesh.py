@@ -1,0 +1,60 @@
+"""Device mesh + sharding helpers (the DDP replacement).
+
+One ``Mesh`` over the ICI with a ``data`` axis; train batches are sharded on
+their leading dim, model/optimizer state is replicated. XLA derives the
+gradient all-reduce from the sharded loss mean — no NCCL-style hand-written
+collectives (cf. SURVEY.md §2 "Distributed communication backend").
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int | None = None,
+              axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1,
+                  axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim, replicate the rest."""
+    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
+    """Device-put a host batch pytree with leading-dim sharding."""
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, data_sharding(mesh, x.ndim, axis_name))
+
+    return jax.tree.map(put, batch)
+
+
+def pad_to_multiple(batch: Any, multiple: int) -> tuple[Any, int]:
+    """Pad leading dims so every array divides the mesh (returns real size)."""
+    sizes = {np.asarray(x).shape[0] for x in jax.tree.leaves(batch)}
+    assert len(sizes) == 1, "ragged batch"
+    n = sizes.pop()
+    pad = (-n) % multiple
+    if pad == 0:
+        return batch, n
+
+    def pad_fn(x):
+        x = np.asarray(x)
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, widths, mode="edge")
+
+    return jax.tree.map(pad_fn, batch), n

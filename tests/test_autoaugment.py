@@ -1,0 +1,188 @@
+"""AutoAugment op parity vs Pillow — the reference's missing AutoAugment.zip
+contains the public pure-PIL policies, so PIL itself is the golden reference.
+
+LUT ops must be integer-exact; enhancement ops within ±1 quantization;
+geometric ops within a small boundary-pixel mismatch budget.
+"""
+
+import numpy as np
+import pytest
+from PIL import Image, ImageEnhance, ImageOps
+
+import jax
+import jax.numpy as jnp
+
+from imageretrievalresearch_tpu.ops import autoaugment as aa
+
+
+@pytest.fixture
+def img(rng):
+    return rng.integers(0, 256, size=(48, 40, 3), dtype=np.uint8)
+
+
+def _pil(img):
+    return Image.fromarray(img)
+
+
+class TestLUTOps:
+    @pytest.mark.parametrize("bits", [4, 5, 6, 7, 8])
+    def test_posterize_exact(self, img, bits):
+        ours = np.asarray(aa.op_posterize(jnp.asarray(img),
+                                          jnp.float32(bits)))
+        theirs = np.asarray(ImageOps.posterize(_pil(img), bits))
+        np.testing.assert_array_equal(ours, theirs)
+
+    @pytest.mark.parametrize("threshold", [0, 57, 128, 199, 256])
+    def test_solarize_exact(self, img, threshold):
+        ours = np.asarray(aa.op_solarize(jnp.asarray(img),
+                                         jnp.float32(threshold)))
+        theirs = np.asarray(ImageOps.solarize(_pil(img), threshold))
+        np.testing.assert_array_equal(ours, theirs)
+
+    def test_invert_exact(self, img):
+        ours = np.asarray(aa.op_invert(jnp.asarray(img), jnp.float32(0)))
+        theirs = np.asarray(ImageOps.invert(_pil(img)))
+        np.testing.assert_array_equal(ours, theirs)
+
+    def test_equalize_exact(self, img):
+        ours = np.asarray(aa.op_equalize(jnp.asarray(img), jnp.float32(0)))
+        theirs = np.asarray(ImageOps.equalize(_pil(img)))
+        np.testing.assert_array_equal(ours, theirs)
+
+    def test_equalize_flat_image(self):
+        flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+        ours = np.asarray(aa.op_equalize(jnp.asarray(flat), jnp.float32(0)))
+        theirs = np.asarray(ImageOps.equalize(_pil(flat)))
+        np.testing.assert_array_equal(ours, theirs)
+
+    def test_autocontrast_near_exact(self, rng):
+        # use a narrow-range image so the stretch is non-trivial; PIL's
+        # float64 LUT rounding allows rare +-1 differences
+        img = rng.integers(60, 180, size=(32, 32, 3), dtype=np.uint8)
+        ours = np.asarray(aa.op_autocontrast(jnp.asarray(img),
+                                             jnp.float32(0)))
+        theirs = np.asarray(ImageOps.autocontrast(_pil(img)))
+        diff = np.abs(ours.astype(int) - theirs.astype(int))
+        assert diff.max() <= 1
+        assert np.mean(diff == 0) > 0.99
+
+    def test_autocontrast_flat_channel(self):
+        flat = np.full((8, 8, 3), 99, dtype=np.uint8)
+        ours = np.asarray(aa.op_autocontrast(jnp.asarray(flat),
+                                             jnp.float32(0)))
+        np.testing.assert_array_equal(ours, flat)
+
+
+class TestEnhanceOps:
+    @pytest.mark.parametrize("factor", [0.1, 0.55, 1.0, 1.45, 1.9])
+    def test_color(self, img, factor):
+        ours = np.asarray(aa.op_color(jnp.asarray(img), jnp.float32(factor)))
+        theirs = np.asarray(ImageEnhance.Color(_pil(img)).enhance(factor))
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+
+    @pytest.mark.parametrize("factor", [0.1, 0.55, 1.0, 1.45, 1.9])
+    def test_contrast(self, img, factor):
+        ours = np.asarray(aa.op_contrast(jnp.asarray(img),
+                                         jnp.float32(factor)))
+        theirs = np.asarray(ImageEnhance.Contrast(_pil(img)).enhance(factor))
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+
+    @pytest.mark.parametrize("factor", [0.1, 1.0, 1.9])
+    def test_brightness(self, img, factor):
+        ours = np.asarray(aa.op_brightness(jnp.asarray(img),
+                                           jnp.float32(factor)))
+        theirs = np.asarray(
+            ImageEnhance.Brightness(_pil(img)).enhance(factor))
+        assert np.abs(ours.astype(int) - theirs.astype(int)).max() <= 1
+
+    @pytest.mark.parametrize("factor", [0.1, 1.0, 1.9])
+    def test_sharpness(self, img, factor):
+        ours = np.asarray(aa.op_sharpness(jnp.asarray(img),
+                                          jnp.float32(factor)))
+        theirs = np.asarray(
+            ImageEnhance.Sharpness(_pil(img)).enhance(factor))
+        diff = np.abs(ours.astype(int) - theirs.astype(int))
+        assert diff.max() <= 2, diff.max()
+
+
+class TestGeometricOps:
+    @pytest.mark.parametrize("v", [-0.3, -0.1, 0.1, 0.3])
+    def test_shear_x_close_to_pil_bicubic(self, img, v):
+        ours = np.asarray(aa.op_shear_x(jnp.asarray(img), jnp.float32(v)))
+        theirs = np.asarray(_pil(img).transform(
+            _pil(img).size, Image.AFFINE, (1, v, 0, 0, 1, 0),
+            Image.BICUBIC, fillcolor=(128, 128, 128)))
+        diff = np.abs(ours.astype(int) - theirs.astype(int))
+        assert np.mean(diff) < 3.0, np.mean(diff)
+        assert np.mean(diff > 8) < 0.06
+
+    @pytest.mark.parametrize("v", [-0.2, 0.25])
+    def test_shear_y_close_to_pil_bicubic(self, img, v):
+        ours = np.asarray(aa.op_shear_y(jnp.asarray(img), jnp.float32(v)))
+        theirs = np.asarray(_pil(img).transform(
+            _pil(img).size, Image.AFFINE, (1, 0, 0, v, 1, 0),
+            Image.BICUBIC, fillcolor=(128, 128, 128)))
+        diff = np.abs(ours.astype(int) - theirs.astype(int))
+        assert np.mean(diff) < 3.0
+
+    @pytest.mark.parametrize("frac", [-0.3, 0.15])
+    def test_translate_x_exact(self, img, frac):
+        px = frac * img.shape[1]
+        ours = np.asarray(aa.op_translate_x(jnp.asarray(img),
+                                            jnp.float32(frac)))
+        theirs = np.asarray(_pil(img).transform(
+            _pil(img).size, Image.AFFINE, (1, 0, px, 0, 1, 0),
+            fillcolor=(128, 128, 128)))
+        np.testing.assert_array_equal(ours, theirs)
+
+    @pytest.mark.parametrize("frac", [-0.2, 0.4])
+    def test_translate_y_exact(self, img, frac):
+        px = frac * img.shape[0]
+        ours = np.asarray(aa.op_translate_y(jnp.asarray(img),
+                                            jnp.float32(frac)))
+        theirs = np.asarray(_pil(img).transform(
+            _pil(img).size, Image.AFFINE, (1, 0, 0, 0, 1, px),
+            fillcolor=(128, 128, 128)))
+        np.testing.assert_array_equal(ours, theirs)
+
+    @pytest.mark.parametrize("deg", [-30, -9, 9, 30])
+    def test_rotate_matches_rotate_with_fill(self, img, deg):
+        def rotate_with_fill(im, magnitude):  # the public AutoAugment helper
+            rot = im.convert("RGBA").rotate(magnitude)
+            return Image.composite(
+                rot, Image.new("RGBA", rot.size, (128,) * 4), rot).convert(
+                im.mode)
+
+        ours = np.asarray(aa.op_rotate(jnp.asarray(img), jnp.float32(deg)))
+        theirs = np.asarray(rotate_with_fill(_pil(img), deg))
+        # NEAREST boundary rounding: small fraction of pixels may land in
+        # the neighboring source pixel
+        mismatch = np.mean(np.any(ours != theirs, axis=-1))
+        assert mismatch < 0.08, mismatch
+
+
+class TestPolicy:
+    def test_batch_api_shapes_and_dtype(self, rng):
+        imgs = rng.integers(0, 256, size=(8, 32, 32, 3), dtype=np.uint8)
+        out = aa.imagenet_policy_batch(jnp.asarray(imgs), jax.random.key(0))
+        assert out.shape == imgs.shape and out.dtype == jnp.uint8
+
+    def test_deterministic_per_key(self, rng):
+        imgs = rng.integers(0, 256, size=(4, 32, 32, 3), dtype=np.uint8)
+        a = np.asarray(aa.imagenet_policy_batch(jnp.asarray(imgs),
+                                                jax.random.key(7)))
+        b = np.asarray(aa.imagenet_policy_batch(jnp.asarray(imgs),
+                                                jax.random.key(7)))
+        np.testing.assert_array_equal(a, b)
+        c = np.asarray(aa.imagenet_policy_batch(jnp.asarray(imgs),
+                                                jax.random.key(8)))
+        assert not np.array_equal(a, c)
+
+    def test_policy_table_covers_25(self):
+        assert len(aa.IMAGENET_SUBPOLICIES) == 25
+        assert aa._POLICY_OPS.shape == (25, 2)
+
+    def test_magnitudes(self):
+        assert aa._MAGS[aa.POSTERIZE].tolist() == [8, 8, 7, 7, 6, 6, 5, 5, 4, 4]
+        assert aa._MAGS[aa.ROTATE][9] == 30
+        np.testing.assert_allclose(aa._MAGS[aa.SHEAR_X][5], 0.3 * 5 / 9)

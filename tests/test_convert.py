@@ -1,0 +1,216 @@
+"""Weight-converter tests, including true numerical parity:
+
+A torch replica of timm's EfficientNet-B0 (identical module naming and
+arithmetic: Conv2d(padding=k//2), BN eps 1e-5, SiLU, SE on block input
+channels) is built in-test, its state dict converted through our mapper,
+and the Flax forward compared against the torch forward — the "bitwise-close
+embeddings" requirement (SURVEY.md hard part #1) validated end-to-end
+without needing timm installed.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+import jax
+import jax.numpy as jnp
+
+from imageretrievalresearch_tpu.models import create_model
+from imageretrievalresearch_tpu.models.convert import (
+    convert_torch_state_dict,
+    load_checkpoint,
+    strip_model_prefix,
+)
+from imageretrievalresearch_tpu.models.efficientnet import _B0_STAGES
+from imageretrievalresearch_tpu.models.layers import make_divisible
+
+
+# --- torch replica of timm EfficientNet-B0 (naming-exact) ---
+
+class TorchSE(nn.Module):
+    def __init__(self, chs, rd):
+        super().__init__()
+        self.conv_reduce = nn.Conv2d(chs, rd, 1, bias=True)
+        self.act1 = nn.SiLU()
+        self.conv_expand = nn.Conv2d(rd, chs, 1, bias=True)
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = self.conv_expand(self.act1(self.conv_reduce(s)))
+        return x * torch.sigmoid(s)
+
+
+class TorchDSBlock(nn.Module):
+    """timm DepthwiseSeparableConv (stage 0): conv_dw/bn1 -> se -> conv_pw/bn2."""
+
+    def __init__(self, in_chs, out_chs, k, s):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(in_chs, in_chs, k, s, k // 2,
+                                 groups=in_chs, bias=False)
+        self.bn1 = nn.BatchNorm2d(in_chs)
+        self.act1 = nn.SiLU()
+        self.se = TorchSE(in_chs, max(1, int(in_chs * 0.25)))
+        self.conv_pw = nn.Conv2d(in_chs, out_chs, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(out_chs)
+        self.has_residual = s == 1 and in_chs == out_chs
+
+    def forward(self, x):
+        sc = x
+        x = self.act1(self.bn1(self.conv_dw(x)))
+        x = self.se(x)
+        x = self.bn2(self.conv_pw(x))
+        return x + sc if self.has_residual else x
+
+
+class TorchIRBlock(nn.Module):
+    """timm InvertedResidual: conv_pw/bn1 -> conv_dw/bn2 -> se -> conv_pwl/bn3."""
+
+    def __init__(self, in_chs, out_chs, k, s, e):
+        super().__init__()
+        mid = make_divisible(in_chs * e)
+        self.conv_pw = nn.Conv2d(in_chs, mid, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(mid)
+        self.act1 = nn.SiLU()
+        self.conv_dw = nn.Conv2d(mid, mid, k, s, k // 2, groups=mid,
+                                 bias=False)
+        self.bn2 = nn.BatchNorm2d(mid)
+        self.act2 = nn.SiLU()
+        self.se = TorchSE(mid, max(1, int(in_chs * 0.25)))
+        self.conv_pwl = nn.Conv2d(mid, out_chs, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(out_chs)
+        self.has_residual = s == 1 and in_chs == out_chs
+
+    def forward(self, x):
+        sc = x
+        x = self.act1(self.bn1(self.conv_pw(x)))
+        x = self.act2(self.bn2(self.conv_dw(x)))
+        x = self.se(x)
+        x = self.bn3(self.conv_pwl(x))
+        return x + sc if self.has_residual else x
+
+
+class TorchEffNetB0(nn.Module):
+    def __init__(self, num_classes=7):
+        super().__init__()
+        self.conv_stem = nn.Conv2d(3, 32, 3, 2, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(32)
+        self.act1 = nn.SiLU()
+        blocks = []
+        in_chs = 32
+        for (k, c, r, s, e) in _B0_STAGES:
+            stage = []
+            out = make_divisible(c)
+            for i in range(r):
+                stride = s if i == 0 else 1
+                if e == 1:
+                    stage.append(TorchDSBlock(in_chs, out, k, stride))
+                else:
+                    stage.append(TorchIRBlock(in_chs, out, k, stride, e))
+                in_chs = out
+            blocks.append(nn.Sequential(*stage))
+        self.blocks = nn.Sequential(*blocks)
+        self.conv_head = nn.Conv2d(in_chs, 1280, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(1280)
+        self.act2 = nn.SiLU()
+        self.classifier = nn.Linear(1280, num_classes)
+
+    def forward_features(self, x):
+        x = self.act1(self.bn1(self.conv_stem(x)))
+        x = self.blocks(x)
+        return self.act2(self.bn2(self.conv_head(x)))
+
+    def forward(self, x):
+        x = self.forward_features(x).mean((2, 3))
+        return self.classifier(x)
+
+
+def _randomize_bn_stats(model, rng):
+    """Non-trivial running stats so conversion of mean/var is exercised."""
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.copy_(torch.from_numpy(
+                rng.normal(0, 0.3, m.running_mean.shape).astype(np.float32)))
+            m.running_var.copy_(torch.from_numpy(
+                rng.uniform(0.5, 1.5, m.running_var.shape).astype(np.float32)))
+            m.weight.data.copy_(torch.from_numpy(
+                rng.uniform(0.8, 1.2, m.weight.shape).astype(np.float32)))
+            m.bias.data.copy_(torch.from_numpy(
+                rng.normal(0, 0.1, m.bias.shape).astype(np.float32)))
+
+
+class TestEfficientNetParity:
+    @pytest.fixture(scope="class")
+    def pair(self):
+        torch.manual_seed(0)
+        tmodel = TorchEffNetB0(num_classes=7).eval()
+        with torch.no_grad():
+            _randomize_bn_stats(tmodel, np.random.default_rng(3))
+        bb = create_model("efficientnet_b0", num_classes=7)
+        variables = bb.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        variables = convert_torch_state_dict(tmodel.state_dict(), bb,
+                                             variables, strict=False)
+        return tmodel, bb, variables
+
+    def test_strict_conversion_covers_all_torch_keys(self, pair):
+        tmodel, bb, _ = pair
+        variables = bb.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)))
+        sd = {k: v for k, v in tmodel.state_dict().items()
+              if "num_batches_tracked" not in k}
+        convert_torch_state_dict(sd, bb, variables, strict=True)
+
+    def test_forward_features_parity(self, pair, rng):
+        tmodel, bb, variables = pair
+        x = rng.random((2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            tfm = tmodel.forward_features(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        ffm = bb.forward_features(variables, jnp.asarray(x))
+        ours = np.asarray(ffm).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, tfm.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_logits_parity(self, pair, rng):
+        tmodel, bb, variables = pair
+        x = rng.random((2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            tl = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        ol = np.asarray(bb(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(ol, tl, rtol=1e-4, atol=1e-4)
+
+    def test_lightning_prefix_strip_roundtrip(self, pair, tmp_path, rng):
+        tmodel, bb, variables = pair
+        sd = {f"model.{k}": v for k, v in tmodel.state_dict().items()
+              if "num_batches_tracked" not in k}
+        ckpt_path = str(tmp_path / "epoch=1-val_loss=0.1.ckpt")
+        torch.save({"state_dict": sd}, ckpt_path)
+        loaded = load_checkpoint(ckpt_path, bb, sample_shape=(1, 64, 64, 3))
+        x = rng.random((1, 64, 64, 3)).astype(np.float32)
+        a = np.asarray(bb.embed(loaded, jnp.asarray(x)))
+        b = np.asarray(bb.embed(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+class TestRexNetMapping:
+    def test_mapping_covers_flax_tree(self):
+        # structural: every mapped flax path exists with the right shape
+        bb = create_model("rexnet_100", num_classes=5)
+        variables = bb.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        from imageretrievalresearch_tpu.models.convert import rexnet_key_map
+        mapping = rexnet_key_map(1.0, 1.0)
+        params = variables["net"]["params"]
+        stats = variables["net"]["batch_stats"]
+        for tkey, (path, kind) in mapping.items():
+            tree = stats if kind in ("bn_mean", "bn_var") else params
+            node = tree
+            for p in path:
+                assert p in node, f"{tkey} -> {path} missing at {p}"
+                node = node[p]
+
+
+class TestPrefixStrip:
+    def test_strip(self):
+        sd = {"model.conv.weight": 1, "other": 2}
+        out = strip_model_prefix(sd)
+        assert "conv.weight" in out and "other" in out

@@ -1,0 +1,126 @@
+"""RetrievalEngine end-to-end tests on a tiny backbone + synthetic data,
+plus Grad-CAM sanity and the sharded-gallery parallel path."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from imageretrievalresearch_tpu.data import SketchyImageDataset, TripletLoader
+from imageretrievalresearch_tpu.data.synthetic import make_sketchy_tree
+from imageretrievalresearch_tpu.models import create_model
+from imageretrievalresearch_tpu.ops.retrieval import cosine_topk
+from imageretrievalresearch_tpu.parallel import make_mesh, sharded_cosine_topk
+from imageretrievalresearch_tpu.retrieval import (
+    RetrievalEngine,
+    grad_cam_pair,
+    retrieval_grid,
+)
+from imageretrievalresearch_tpu.retrieval.gradcam import grad_cam_class
+
+
+@pytest.fixture(scope="module")
+def engine_setup(tmp_path_factory):
+    root = make_sketchy_tree(str(tmp_path_factory.mktemp("sk")),
+                             n_cats=3, n_prods=1, n_photos=4,
+                             n_sketches=3, size=32)
+    ds = SketchyImageDataset(data_dir=root)
+    dl = TripletLoader(ds, batch_size=4, num_workers=1, seed=0,
+                       shuffle=False)
+    bb = create_model("efficientnet_b0", num_classes=ds.get_cat_length())
+    variables = bb.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    tr = jax.jit(lambda x: x.astype(jnp.float32) / 255.0)
+    eng = RetrievalEngine(bb, variables, transform=tr)
+    return ds, dl, bb, variables, eng
+
+
+class TestEngine:
+    def test_embed_loader_shapes(self, engine_setup):
+        ds, dl, bb, variables, eng = engine_setup
+        embeds = eng.embed_triplet_loader(dl, keep_images=True)
+        n = (len(ds) // 4) * 4
+        assert embeds["fms_ims_all"].shape == (n, 1280)
+        assert embeds["classes_all"].shape == (n,)
+        assert embeds["ims"].shape == (n, 32, 32, 3)
+
+    def test_class_dedup_eval_surface(self, engine_setup):
+        ds, dl, bb, variables, eng = engine_setup
+        embeds = eng.embed_triplet_loader(dl, keep_images=True)
+        res = eng.evaluate_class_dedup(embeds, k=10)
+        assert 0 <= res["top1"] <= res["top3"] <= 1
+        assert res["topk_inds"].shape[1] == 3
+        # deduped classes are unique per query (ignoring -1 fill)
+        for row in res["top_r_list"]:
+            real = row[row >= 0]
+            assert len(set(real.tolist())) == len(real)
+
+    def test_index_match_eval_surface(self, engine_setup):
+        ds, dl, bb, variables, eng = engine_setup
+        embeds = eng.embed_triplet_loader(dl)
+        res = eng.evaluate_index_match(embeds)
+        for k in ("loss", "top1", "top3", "scores",
+                  "normalized_embeddings"):
+            assert k in res
+
+    def test_normalized_embeddings_unit_norm(self, engine_setup, rng):
+        # well-scaled embeddings normalize to unit rows (near-zero rows are
+        # eps-clamped per torch CosineSimilarity semantics)
+        ds, dl, bb, variables, eng = engine_setup
+        q = rng.normal(size=(6, 32)).astype(np.float32)
+        embeds = {"fms_ims_all": q, "fms_poss_all": q,
+                  "fms_negs_all": q, "classes_all": np.arange(6)}
+        res = eng.evaluate_index_match(embeds)
+        norms = np.linalg.norm(res["normalized_embeddings"], axis=1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+    def test_perfect_gallery_gives_top1(self, engine_setup):
+        ds, dl, bb, variables, eng = engine_setup
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=(12, 64)).astype(np.float32)
+        embeds = {"fms_ims_all": q, "fms_poss_all": q,
+                  "fms_negs_all": rng.normal(size=(12, 64)).astype(np.float32),
+                  "classes_all": np.arange(12)}
+        res = eng.evaluate_class_dedup(embeds, k=12)
+        assert res["top1"] == 1.0
+        res2 = eng.evaluate_index_match(embeds)
+        assert res2["top1"] == 1.0
+
+    def test_visualization_grid(self, engine_setup, tmp_path):
+        ds, dl, bb, variables, eng = engine_setup
+        embeds = eng.embed_triplet_loader(dl, keep_images=True)
+        res = eng.evaluate_class_dedup(embeds, k=10)
+        idx_to_clss = {v: k for k, v in ds.cat_idx.items()}
+        paths = retrieval_grid(res, idx_to_clss, str(tmp_path / "viz"),
+                               num_queries=2)
+        assert len(paths) == 2
+        import os
+        assert all(os.path.getsize(p) > 0 for p in paths)
+
+
+class TestGradCAM:
+    def test_pair_cam_shape_and_range(self, engine_setup, rng):
+        ds, dl, bb, variables, eng = engine_setup
+        x = jnp.asarray(rng.random((2, 32, 32, 3)), dtype=jnp.float32)
+        ref = jnp.asarray(rng.normal(size=(2, 1280)), dtype=jnp.float32)
+        cam = np.asarray(grad_cam_pair(bb, variables, x, ref))
+        assert cam.shape == (2, 1, 1)  # 32px -> 1x1 final fm
+        assert (cam >= 0).all() and (cam <= 1).all()
+
+    def test_class_cam(self, engine_setup, rng):
+        ds, dl, bb, variables, eng = engine_setup
+        x = jnp.asarray(rng.random((2, 32, 32, 3)), dtype=jnp.float32)
+        cam = np.asarray(grad_cam_class(bb, variables, x,
+                                        jnp.asarray([0, 1])))
+        assert np.isfinite(cam).all()
+
+
+class TestShardedGallery:
+    def test_matches_single_device(self, rng):
+        mesh = make_mesh()  # 8 virtual CPU devices
+        q = rng.normal(size=(10, 32)).astype(np.float32)
+        g = rng.normal(size=(64, 32)).astype(np.float32)
+        v1, i1 = sharded_cosine_topk(jnp.asarray(q), jnp.asarray(g), 5, mesh)
+        v2, i2 = cosine_topk(q, g, 5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=1e-5, atol=1e-6)

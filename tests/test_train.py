@@ -1,0 +1,160 @@
+"""Training-stack tests: optimizer/schedule parity, step mechanics, and a
+tiny end-to-end fit on the synthetic Sketchy tree over an 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from imageretrievalresearch_tpu.config import TrainConfig
+from imageretrievalresearch_tpu.data import SketchyImageDataset, TripletLoader
+from imageretrievalresearch_tpu.data.synthetic import make_sketchy_tree
+from imageretrievalresearch_tpu.models import create_model
+from imageretrievalresearch_tpu.train import (
+    EmbedTrainState,
+    Trainer,
+    build_eval_step,
+    build_train_step,
+    make_optimizer,
+    multistep_lr,
+)
+
+
+def _tiny_cfg(**kw):
+    defaults = dict(model_name="efficientnet_b0", batch_size=8,
+                    image_size=32, compute_dtype="float32",
+                    max_epochs=1, num_workers=2, log_every_n_steps=1000)
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def _fake_batch(rng, b=8, s=32, n_cls=4):
+    return {
+        "qry": jnp.asarray(rng.random((b, s, s, 3)), dtype=jnp.float32),
+        "pos": [jnp.asarray(rng.random((b, s, s, 3)), dtype=jnp.float32)],
+        "neg": [jnp.asarray(rng.random((b, s, s, 3)), dtype=jnp.float32)],
+        "cat_idx": jnp.asarray(rng.integers(0, n_cls, b), dtype=jnp.int32),
+        "prod_idx": jnp.asarray(rng.integers(0, n_cls, b), dtype=jnp.int32),
+    }
+
+
+class TestSchedule:
+    def test_multistep_lr_matches_torch_rule(self):
+        # MultiStepLR([6,12], 0.1): lr, ..., lr*0.1 from epoch 6, *0.01 from 12
+        sched = multistep_lr(1.0, [6, 12], 0.1, steps_per_epoch=10)
+        assert float(sched(0)) == 1.0
+        assert float(sched(59)) == 1.0
+        assert float(sched(60)) == pytest.approx(0.1)
+        assert float(sched(119)) == pytest.approx(0.1)
+        assert float(sched(120)) == pytest.approx(0.01)
+
+    def test_adamw_matches_torch_one_step(self):
+        import torch
+        w0 = np.random.default_rng(0).normal(size=(4, 3)).astype(np.float32)
+        g = np.random.default_rng(1).normal(size=(4, 3)).astype(np.float32)
+        # torch
+        tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        opt = torch.optim.AdamW([tw], lr=1e-3, weight_decay=1e-5)
+        tw.grad = torch.from_numpy(g.copy())
+        opt.step()
+        # ours
+        tx = make_optimizer("Adam", 1e-3, 1e-5)
+        state = tx.init({"w": jnp.asarray(w0)})
+        upd, _ = tx.update({"w": jnp.asarray(g)}, state, {"w": jnp.asarray(w0)})
+        ours = np.asarray(jnp.asarray(w0) + upd["w"])
+        np.testing.assert_allclose(ours, tw.detach().numpy(), rtol=1e-5,
+                                   atol=1e-7)
+
+    def test_unknown_optimizer(self):
+        with pytest.raises(ValueError, match="Unknown optimizer"):
+            make_optimizer("Lion", 1e-3, 0.0)
+
+
+class TestSteps:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = _tiny_cfg()
+        bb = create_model(cfg.model_name, num_classes=4)
+        sample = jnp.zeros((1, 32, 32, 3))
+        variables = bb.init(jax.random.key(0), sample)
+        tx = make_optimizer("Adam", 1e-3, 1e-5)
+        state = EmbedTrainState.from_backbone(bb, variables, tx)
+        return cfg, bb, state
+
+    def test_train_step_updates_params_and_stats(self, setup, rng):
+        cfg, bb, state = setup
+        step = jax.jit(build_train_step(bb, cfg))
+        batch = _fake_batch(rng)
+        new_state, metrics = step(state, batch, jax.random.key(1))
+        assert int(new_state.step) == int(state.step) + 1
+        # params changed
+        a = jax.tree.leaves(state.params)[0]
+        b = jax.tree.leaves(new_state.params)[0]
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+        # bn stats changed
+        sa = jax.tree.leaves(state.batch_stats)[0]
+        sb = jax.tree.leaves(new_state.batch_stats)[0]
+        assert not np.allclose(np.asarray(sa), np.asarray(sb))
+        for k in ("train_loss", "train_top3", "train_top1"):
+            assert np.isfinite(float(metrics[k]))
+
+    def test_eval_step_reference_metric_keys(self, setup, rng):
+        cfg, bb, state = setup
+        step = jax.jit(build_eval_step(bb, cfg))
+        metrics = step(state, _fake_batch(rng))
+        for k in ("val_loss", "cos_sims", "cos_unsims", "val_top3",
+                  "val_top1", "val_loss_cos_poss", "val_loss_cos_negs",
+                  "val_loss_ce_ims", "val_loss_ce_poss"):
+            assert k in metrics, k
+
+    def test_loss_mode_cos_only(self, setup, rng):
+        cfg, bb, state = setup
+        cfg2 = _tiny_cfg(only_feature_embeddings=True,
+                         only_target_labels=None, cos_margin=0.2)
+        m = jax.jit(build_eval_step(bb, cfg2))(state, _fake_batch(rng))
+        assert "val_loss_ce_ims" not in m
+        assert "val_loss_cos_poss" in m
+
+    def test_loss_mode_cos_con_ce(self, setup, rng):
+        cfg, bb, state = setup
+        cfg3 = _tiny_cfg(use_contrastive=True, cos_margin=0.3,
+                         con_margin=0.3)
+        m = jax.jit(build_eval_step(bb, cfg3))(state, _fake_batch(rng))
+        assert "val_loss_con_poss" in m and "val_loss_ce_poss" in m
+        total = (float(m["val_loss_cos_poss"]) + float(m["val_loss_cos_negs"])
+                 + float(m["val_loss_con_poss"]) + float(m["val_loss_con_negs"])
+                 + float(m["val_loss_ce_ims"]) + float(m["val_loss_ce_poss"]))
+        assert float(m["val_loss"]) == pytest.approx(total, rel=1e-5)
+
+    def test_loss_mode_ce_only_uses_prod_labels(self, setup, rng):
+        cfg, bb, state = setup
+        cfg4 = _tiny_cfg(only_feature_embeddings=None,
+                         only_target_labels=True)
+        assert cfg4.loss_mode == "ce_only"
+        m = jax.jit(build_eval_step(bb, cfg4))(state, _fake_batch(rng))
+        assert set(k for k in m if k.startswith("val_loss")) == {
+            "val_loss", "val_loss_ce_ims"}
+
+
+class TestTrainerEndToEnd:
+    def test_fit_two_epochs_on_synthetic_sketchy(self, tmp_path):
+        root = make_sketchy_tree(str(tmp_path / "sk"), n_cats=3, n_prods=1,
+                                 n_photos=6, n_sketches=3, size=32)
+        cfg = _tiny_cfg(batch_size=8, checkpoint_dir=str(tmp_path / "ckpt"),
+                        max_epochs=2, learning_rate=1e-3)
+        ds = SketchyImageDataset(data_dir=root)
+        tr = TripletLoader(ds, cfg.batch_size, num_workers=2, seed=0)
+        va = TripletLoader(ds, cfg.batch_size, num_workers=2, seed=1)
+        bb = create_model(cfg.model_name, num_classes=ds.get_cat_length())
+        trainer = Trainer(cfg, bb, tr, va)
+        assert jax.device_count() == 8  # sanity: virtual mesh active
+        state, history = trainer.fit()
+        assert len(history["epochs"]) == 2
+        e = history["epochs"][-1]
+        assert np.isfinite(e["train_loss"]) and np.isfinite(e["val_loss"])
+        assert 0 <= e["val_top1"] <= e["val_top3"] <= 1
+        # checkpoint written and restorable
+        assert trainer.ckpt.best_step() is not None
+        restored = trainer.ckpt.restore(jax.device_get(state))
+        ra = jax.tree.leaves(restored.params)[0]
+        assert np.isfinite(np.asarray(ra)).all()
