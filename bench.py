@@ -45,7 +45,13 @@ def bench_tpu_retrieval() -> float:
         jax.block_until_ready(v)
         return v, i
 
-    run()  # compile
+    # warm up: compile AND force the first real execution to finish on
+    # device (block_until_ready alone can return before the first run's
+    # input transfer + execution completes over a remote-device transport)
+    v, _ = run()
+    np.asarray(v[:1, :1])
+    v, _ = run()
+    np.asarray(v[:1, :1])
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
