@@ -41,7 +41,7 @@ class TripletLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 8,
                  seed: int = 42, host_size: int | None = None,
-                 prefetch: int = 4):
+                 prefetch: int = 4, use_native: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -51,6 +51,16 @@ class TripletLoader:
         self.host_size = host_size
         self.prefetch = prefetch
         self.epoch = 0
+        # native C++ batch decode path: needs a TripletIndex dataset, a fixed
+        # host_size, no per-sample python transforms, and the built .so
+        self.use_native = False
+        if use_native:
+            from imageretrievalresearch_tpu.data import native_loader
+            self.use_native = (native_loader.native_available()
+                               and host_size is not None
+                               and getattr(dataset, "index", None) is not None
+                               and getattr(dataset, "transform_dic", None)
+                               is None)
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -106,6 +116,38 @@ class TripletLoader:
         }
         return batch
 
+    def _native_batch(self, indices: np.ndarray) -> dict:
+        """Sample triplet paths in Python, decode the whole batch in C++."""
+        from imageretrievalresearch_tpu.data import native_loader
+
+        ds = self.dataset
+        pn = getattr(ds, "pos_return_num", 1)
+        nn = getattr(ds, "neg_return_num", 1)
+        samples = []
+        for idx in indices.tolist():
+            ss = np.random.SeedSequence(entropy=self.seed,
+                                        spawn_key=(self.epoch, idx))
+            samples.append(ds.index.sample(idx, np.random.default_rng(ss),
+                                           pn, nn))
+        paths: list[str] = []
+        for s in samples:
+            paths.append(s["qry"])
+            paths.extend(s["pos"])
+            paths.extend(s["neg"])
+        s_len = 1 + pn + nn
+        hs = self.host_size
+        imgs = native_loader.decode_resize_batch(paths, hs, hs)
+        imgs = imgs.reshape(len(samples), s_len, hs, hs, 3)
+        return {
+            "qry": imgs[:, 0],
+            "pos": [imgs[:, 1 + j] for j in range(pn)],
+            "neg": [imgs[:, 1 + pn + j] for j in range(nn)],
+            "cat_idx": np.asarray([s["cat_idx"] for s in samples],
+                                  dtype=np.int32),
+            "prod_idx": np.asarray([s["prod_idx"] for s in samples],
+                                   dtype=np.int32),
+        }
+
     # --- iteration with bounded prefetch ---
 
     def __iter__(self) -> Iterator[dict]:
@@ -124,6 +166,13 @@ class TripletLoader:
         stop = threading.Event()
 
         def produce():
+            if self.use_native:
+                for bidx in batches:
+                    if stop.is_set():
+                        return
+                    q.put(self._native_batch(bidx))
+                q.put(None)
+                return
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for bidx in batches:
                     if stop.is_set():
