@@ -149,14 +149,27 @@ class Trainer:
         return {k: float(np.mean(v)) for k, v in agg.items()}
 
     def fit(self, state: EmbedTrainState | None = None,
-            max_epochs: int | None = None) -> tuple[EmbedTrainState, dict]:
+            max_epochs: int | None = None, resume: bool = False
+            ) -> tuple[EmbedTrainState, dict]:
+        """Train. ``resume=True`` restores the latest orbax checkpoint and
+        continues from its step (the restartable loop the reference lacks —
+        its only resume is a hardcoded pretrained path, train/train.py:461-466)."""
         cfg = self.cfg
         state = state if state is not None else self.init_state()
+        start_epoch = 0
+        if resume and self.ckpt and self.ckpt.latest_step() is not None:
+            restored = self.ckpt.restore(jax.device_get(state),
+                                         step=self.ckpt.latest_step())
+            state = jax.device_put(restored, replicate(self.mesh))
+            steps_per_epoch = max(1, len(self.train_loader))
+            start_epoch = int(state.step) // steps_per_epoch
+            print(f"[trainer] resumed from step {int(state.step)} "
+                  f"(epoch {start_epoch})")
         stopper = EarlyStopping(cfg.monitor, cfg.monitor_mode,
                                 cfg.early_stop_patience)
         history: dict[str, list] = {"epochs": []}
         epochs = max_epochs if max_epochs is not None else cfg.max_epochs
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             state, train_metrics = self.train_epoch(state, epoch)
             epoch_metrics = dict(train_metrics)
             if self.val_loader is not None:
@@ -174,3 +187,23 @@ class Trainer:
         if self.ckpt:
             self.ckpt.wait()
         return state, history
+
+    def test(self, state: EmbedTrainState, test_loader,
+             results_path: str | None = None) -> dict:
+        """Evaluate on the test loader and optionally pickle the results —
+        the reference's trainer.test + pickle flow (train/find_lr.py:440-457,
+        keys test_loss/test_top3/test_top1)."""
+        metrics = self.eval_epoch(state, test_loader)
+        results = {
+            "test_loss": metrics.get("val_loss"),
+            "test_top3": metrics.get("val_top3"),
+            "test_top1": metrics.get("val_top1"),
+            "test_scores": metrics.get("cos_sims"),
+        }
+        if results_path:
+            import os
+            import pickle
+            os.makedirs(os.path.dirname(results_path) or ".", exist_ok=True)
+            with open(results_path, "wb") as f:
+                pickle.dump(results, f, protocol=pickle.HIGHEST_PROTOCOL)
+        return results

@@ -72,6 +72,26 @@ class TestCosineTopk:
         np.testing.assert_allclose(np.asarray(v)[:, 0], 1.0, rtol=1e-5)
 
 
+class TestMethodOptions:
+    def test_approx_high_recall_on_cpu(self, rng):
+        q, g = _qg(rng, q=30)
+        v1, i1 = cosine_topk(q, g, 10)
+        v2, i2 = cosine_topk(q, g, 10, method="approx")
+        rec = np.mean([len(set(np.asarray(i1)[i].tolist())
+                           & set(np.asarray(i2)[i].tolist())) / 10
+                       for i in range(30)])
+        assert rec > 0.9
+
+    def test_bf16_matmul_ranking_stable(self, rng):
+        q, g = _qg(rng, q=30)
+        _, i1 = cosine_topk(q, g, 5)
+        _, i2 = cosine_topk(q, g, 5, matmul_dtype="bfloat16")
+        overlap = np.mean([len(set(np.asarray(i1)[i].tolist())
+                               & set(np.asarray(i2)[i].tolist())) / 5
+                           for i in range(30)])
+        assert overlap > 0.9
+
+
 class TestPallasScores:
     def test_interpret_matches_xla(self, rng):
         q, g = _qg(rng, q=20, g=300, d=128)
