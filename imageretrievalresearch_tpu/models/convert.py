@@ -140,6 +140,7 @@ def rexnet_key_map(width_mult: float, depth_mult: float,
         _cba(dst + ("conv_dw",), f"{t}.conv_dw", m)
         if se > 0:
             m[f"{t}.se.fc1.weight"] = (dst + ("se", "conv_reduce", "kernel"), "conv")
+            m[f"{t}.se.fc1.bias"] = (dst + ("se", "conv_reduce", "bias"), "bias")
             _bn = dst + ("se", "bn")
             for t_suf, ours, kind in (("weight", "scale", "bn_scale"),
                                       ("bias", "bias", "bn_bias"),
@@ -148,6 +149,7 @@ def rexnet_key_map(width_mult: float, depth_mult: float,
                 m[f"{t}.se.bn.{t_suf}"] = (_bn + (ours,), kind)
             m[f"{t}.se.fc2.weight"] = (dst + ("se", "conv_expand", "kernel"), "conv")
             m[f"{t}.se.fc2.bias"] = (dst + ("se", "conv_expand", "bias"), "bias")
+        _cba(dst + ("conv_pwl",), f"{t}.conv_pwl", m)
     _cba(ff + ("final_conv",), f"features.{len(cfg)}", m)
     m["head.fc.weight"] = (("head", "fc", "kernel"), "linear")
     m["head.fc.bias"] = (("head", "fc", "bias"), "bias")

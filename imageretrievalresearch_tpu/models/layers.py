@@ -78,7 +78,9 @@ class SqueezeExcite(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         se = jnp.mean(x, axis=(1, 2), keepdims=True)
-        se = nn.Conv(self.rd_chs, (1, 1), use_bias=not self.use_norm,
+        # bias stays on even with the norm (timm SEWithNorm keeps fc1 bias;
+        # with eval-mode running stats the bias is NOT absorbed by the BN)
+        se = nn.Conv(self.rd_chs, (1, 1), use_bias=True,
                      dtype=self.dtype, name="conv_reduce")(se)
         if self.use_norm:
             se = nn.BatchNorm(use_running_average=not train, momentum=0.9,

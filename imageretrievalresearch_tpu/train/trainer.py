@@ -181,6 +181,7 @@ class Trainer:
                                    epoch_metrics)
                 if (cfg.monitor in epoch_metrics
                         and stopper.update(epoch_metrics)):
+                    history["epochs"].append(epoch_metrics)
                     history["stopped_early"] = epoch
                     break
             history["epochs"].append(epoch_metrics)
