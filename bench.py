@@ -16,10 +16,13 @@ Prints ONE json line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
 
 GALLERY = 100_000
 DIM = 1536
@@ -110,16 +113,55 @@ def bench_tpu_retrieval_approx() -> float:
     return QUERIES / min(times)
 
 
+def bench_embed_throughput(batch: int = 64) -> float:
+    """efficientnet_b3a bf16 embedding images/sec/chip (BASELINE metric #1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from imageretrievalresearch_tpu.models import create_model
+
+    backbone = create_model("efficientnet_b3a", num_classes=125,
+                            dtype=jnp.bfloat16)
+    # shape-only init (throughput doesn't depend on parameter values);
+    # avoids a slow real init on this host
+    var_shapes = jax.eval_shape(
+        lambda rng: backbone.init(rng, jnp.zeros((1, 32, 32, 3),
+                                                 jnp.bfloat16)),
+        jax.random.key(0))
+    variables = jax.tree.map(
+        lambda s: jnp.full(s.shape, 0.01, s.dtype), var_shapes)
+    x = jnp.asarray(np.random.default_rng(0).random((batch, 224, 224, 3)),
+                    dtype=jnp.bfloat16)
+    embed = jax.jit(lambda v, x: backbone.embed(v, x))
+    e = embed(variables, x)
+    np.asarray(e[:1, :1])
+    e = embed(variables, x)
+    np.asarray(e[:1, :1])
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        e = embed(variables, x)
+        import jax as _j
+        _j.block_until_ready(e)
+        times.append(time.perf_counter() - t0)
+    return batch / min(times)
+
+
 def main() -> None:
     ref_qps = bench_reference_cpu()
     qps = bench_tpu_retrieval()
     approx_qps = bench_tpu_retrieval_approx()
+    try:
+        embed_ips = bench_embed_throughput()
+    except Exception:
+        embed_ips = -1.0
     print(json.dumps({
         "metric": "retrieval_qps_100k_gallery_top150",
         "value": round(qps, 2),
         "unit": "queries/sec",
         "vs_baseline": round(qps / ref_qps, 2),
         "approx_path_qps": round(approx_qps, 2),
+        "embed_b3a_img_per_sec": round(embed_ips, 1),
         "reference_cpu_qps": round(ref_qps, 4),
     }))
 

@@ -156,11 +156,58 @@ def rexnet_key_map(width_mult: float, depth_mult: float,
     return m
 
 
+def swin_key_map(depths, num_heads) -> dict:
+    """timm SwinTransformer naming -> our module paths.
+
+    timm: patch_embed.proj/.norm; layers.{s}.blocks.{b}. with norm1,
+    attn.{qkv,proj,relative_position_bias_table}, norm2, mlp.{fc1,fc2};
+    layers.{s}.downsample.{norm,reduction}; final norm; head(.fc).
+    (relative_position_index buffers are recomputed, not converted.)
+    """
+    m: dict = {}
+    ff = ("forward_features",)
+
+    def dense(dst: tuple, src: str, bias: bool = True) -> None:
+        m[f"{src}.weight"] = (dst + ("kernel",), "linear")
+        if bias:
+            m[f"{src}.bias"] = (dst + ("bias",), "bias")
+
+    def ln(dst: tuple, src: str) -> None:
+        m[f"{src}.weight"] = (dst + ("scale",), "bias")
+        m[f"{src}.bias"] = (dst + ("bias",), "bias")
+
+    m["patch_embed.proj.weight"] = (ff + ("patch_embed", "kernel"), "conv")
+    m["patch_embed.proj.bias"] = (ff + ("patch_embed", "bias"), "bias")
+    ln(ff + ("patch_norm",), "patch_embed.norm")
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            t = f"layers.{s}.blocks.{b}"
+            dst = ff + (f"layers_{s}_blocks_{b}",)
+            ln(dst + ("norm1",), f"{t}.norm1")
+            dense(dst + ("attn", "qkv"), f"{t}.attn.qkv")
+            dense(dst + ("attn", "proj"), f"{t}.attn.proj")
+            m[f"{t}.attn.relative_position_bias_table"] = (
+                dst + ("attn", "relative_position_bias_table"), "raw")
+            ln(dst + ("norm2",), f"{t}.norm2")
+            dense(dst + ("mlp_fc1",), f"{t}.mlp.fc1")
+            dense(dst + ("mlp_fc2",), f"{t}.mlp.fc2")
+        if s < len(depths) - 1:
+            t = f"layers.{s}.downsample"
+            dst = ff + (f"layers_{s}_downsample",)
+            ln(dst + ("norm",), f"{t}.norm")
+            dense(dst + ("reduction",), f"{t}.reduction", bias=False)
+    ln(ff + ("norm",), "norm")
+    # timm swin head is `head` (Linear) in 0.4.x / `head.fc` in newer timm
+    dense(("head", "fc"), "head")
+    return m
+
+
 _FAMILY_MAPPERS = {
     r"^efficientnet": lambda net: efficientnet_key_map(net.width_mult,
                                                        net.depth_mult),
     r"^rexnet": lambda net: rexnet_key_map(net.width_mult, net.depth_mult,
                                            net.ch_div),
+    r"^swin": lambda net: swin_key_map(net.depths, net.num_heads),
 }
 
 
@@ -186,20 +233,26 @@ def convert_torch_state_dict(state_dict: dict, backbone,
                          variables["net"].get("batch_stats", {}))
     used, missing = set(), []
 
-    def assign(tree: dict, path: tuple, value: np.ndarray, torch_key: str):
+    def assign(tree: dict, path: tuple, value: np.ndarray,
+               torch_key: str) -> bool:
         node = tree
         for p in path[:-1]:
             if p not in node:
-                raise KeyError(f"{torch_key}: no flax path {path}")
+                if strict:
+                    raise KeyError(f"{torch_key}: no flax path {path}")
+                return False
             node = node[p]
         leaf = path[-1]
         if leaf not in node:
-            raise KeyError(f"{torch_key}: no flax leaf {path}")
+            if strict:
+                raise KeyError(f"{torch_key}: no flax leaf {path}")
+            return False
         if node[leaf].shape != value.shape:
             raise ValueError(
                 f"{torch_key}: shape {value.shape} != flax {path} "
                 f"{node[leaf].shape}")
         node[leaf] = value.astype(node[leaf].dtype)
+        return True
 
     for tkey, (path, kind) in mapping.items():
         if tkey not in state_dict:
@@ -211,10 +264,11 @@ def convert_torch_state_dict(state_dict: dict, backbone,
         elif kind == "linear":
             val = _linear_kernel(val)
         if kind in ("bn_mean", "bn_var"):
-            assign(stats, path, val, tkey)
+            ok = assign(stats, path, val, tkey)
         else:
-            assign(params, path, val, tkey)
-        used.add(tkey)
+            ok = assign(params, path, val, tkey)
+        if ok:
+            used.add(tkey)
 
     extra = set(state_dict) - used
     if strict and (missing or extra):
@@ -244,11 +298,35 @@ def load_checkpoint(checkpoint_path: str, backbone,
         print(f"Model {backbone.name} randomly initialized "
               "(no checkpoint given)")
         return variables
-    if os.path.isdir(checkpoint_path):  # our orbax layout
+    if os.path.isdir(checkpoint_path):  # our orbax layouts
         import orbax.checkpoint as ocp
+
+        path = os.path.abspath(checkpoint_path)
+        step_dirs = [d for d in os.listdir(path)
+                     if d.isdigit() and os.path.isdir(os.path.join(path, d))]
+        if step_dirs:
+            # a Trainer CheckpointManager directory: restore the best/latest
+            # step's EmbedTrainState and extract the backbone variables
+            mgr = ocp.CheckpointManager(path)
+            step = mgr.best_step()
+            if step is None:
+                step = mgr.latest_step()
+            restored = mgr.restore(step)
+            mgr.close()
+            state = restored if isinstance(restored, dict) else restored
+            params = state["params"]
+            batch_stats = state.get("batch_stats") or {}
+            out = {}
+            for key in params:
+                v = {"params": params[key]}
+                if batch_stats and key in batch_stats:
+                    v["batch_stats"] = batch_stats[key]
+                out[key] = v
+            print(f"Model {backbone.name} trainer checkpoint (step {step}) "
+                  "loaded")
+            return out
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(os.path.abspath(checkpoint_path),
-                                 variables)
+        restored = ckptr.restore(path, variables)
         print(f"Model {backbone.name} orbax checkpoint loaded")
         return restored
     import torch

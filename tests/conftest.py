@@ -22,14 +22,6 @@ import jax
 # run over the TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite compiles many small model programs;
-# caching across test runs cuts wall-clock dramatically on re-runs.
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
 import numpy as np
 import pytest
 
