@@ -375,6 +375,87 @@ _OP_FNS[INVERT] = op_invert
 _GEO_OPS = (SHEAR_X, SHEAR_Y, TRANSLATE_X, TRANSLATE_Y, ROTATE)
 _ENH_OPS = (COLOR, CONTRAST, SHARPNESS, BRIGHTNESS)
 
+
+# ---------------------------------------------------------------------------
+# batched histogram ops (equalize / autocontrast): LUT math vectorized over
+# (batch*channel) planes; on TPU the histogram and LUT application run as
+# VMEM-resident Pallas kernels (XLA's per-pixel gathers/scatters are the
+# dominant cost of on-device AutoAugment otherwise — see PERF.md)
+# ---------------------------------------------------------------------------
+
+def _equalize_lut(hist: jax.Array) -> jax.Array:
+    """(P, 256) histograms -> (P, 256) PIL-equalize LUTs (int algorithm)."""
+    p = hist.shape[0]
+    nz = hist > 0
+    last_nz = 255 - jnp.argmax(nz[:, ::-1].astype(jnp.int32), axis=1)
+    h_last = jnp.take_along_axis(hist, last_nz[:, None], axis=1)[:, 0]
+    total = jnp.sum(hist, axis=1)
+    step = (total - h_last) // 255
+    csum = jnp.concatenate(
+        [jnp.zeros((p, 1), hist.dtype), jnp.cumsum(hist, axis=1)[:, :-1]],
+        axis=1)
+    ar = jnp.broadcast_to(jnp.arange(256, dtype=jnp.int32), (p, 256))
+    stepc = step[:, None]
+    lut = jnp.clip((stepc // 2 + csum) // jnp.maximum(stepc, 1), 0, 255)
+    return jnp.where(stepc > 0, lut, ar).astype(jnp.int32)
+
+
+def _autocontrast_lut(lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """(P,) channel min/max -> (P, 256) PIL-autocontrast LUTs."""
+    num = (jnp.arange(256, dtype=jnp.int32)[None] - lo[:, None]) * 255
+    den = jnp.maximum(hi - lo, 1)[:, None]
+    lut = jnp.clip(jnp.where(num >= 0, num // den, -((-num) // den)), 0, 255)
+    ar = jnp.broadcast_to(jnp.arange(256, dtype=jnp.int32), lut.shape)
+    return jnp.where((hi > lo)[:, None], lut, ar)
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _lut_apply_planes(planes: jax.Array, lut: jax.Array) -> jax.Array:
+    """(P, H, W) int + (P, 256) int -> (P, H, W); Pallas on TPU, gather
+    elsewhere."""
+    if _use_pallas():
+        from imageretrievalresearch_tpu.ops.pallas_image import pallas_lut_apply
+        return pallas_lut_apply(planes, lut)
+    return jax.vmap(lambda f, l: l[f])(planes, lut)
+
+
+def _plane_histogram(planes: jax.Array) -> jax.Array:
+    if _use_pallas():
+        from imageretrievalresearch_tpu.ops.pallas_image import pallas_histogram
+        return pallas_histogram(planes)
+    return jax.vmap(_channel_hist)(planes)
+
+
+def batched_equalize(images: jax.Array) -> jax.Array:
+    """(B, H, W, 3) uint8 -> equalized, semantics of :func:`op_equalize`."""
+    b, h, w, c = images.shape
+    planes = images.astype(jnp.int32).transpose(0, 3, 1, 2).reshape(-1, h, w)
+    hist = _plane_histogram(planes)
+    lut = _equalize_lut(hist)
+    out = _lut_apply_planes(planes, lut)
+    return out.reshape(b, c, h, w).transpose(0, 2, 3, 1).astype(jnp.uint8)
+
+
+def batched_autocontrast(images: jax.Array) -> jax.Array:
+    """(B, H, W, 3) uint8 -> autocontrasted, semantics of
+    :func:`op_autocontrast`."""
+    b, h, w, c = images.shape
+    planes = images.astype(jnp.int32).transpose(0, 3, 1, 2).reshape(-1, h, w)
+    lo = jnp.min(planes, axis=(1, 2))
+    hi = jnp.max(planes, axis=(1, 2))
+    lut = _autocontrast_lut(lo, hi)
+    out = _lut_apply_planes(planes, lut)
+    return out.reshape(b, c, h, w).transpose(0, 2, 3, 1).astype(jnp.uint8)
+
+
+_BATCHED_OPS = {
+    EQUALIZE: lambda images, arg: batched_equalize(images),
+    AUTOCONTRAST: lambda images, arg: batched_autocontrast(images),
+}
+
 # ops that can actually be selected at each stage position of the 25
 # ImageNetPolicy sub-policies (shearY/translateX/translateY never appear;
 # shearX and sharpness only in stage 0, autocontrast/contrast only in
@@ -403,7 +484,10 @@ def _apply_stage(images: jax.Array, op: jax.Array, mag: jax.Array,
     sel = images
     for k in op_set:
         arg = enh if k in _ENH_OPS else (geo if k in _GEO_OPS else mag)
-        cand = jax.vmap(_OP_FNS[k])(images, arg)
+        if k in _BATCHED_OPS:
+            cand = _BATCHED_OPS[k](images, arg)
+        else:
+            cand = jax.vmap(_OP_FNS[k])(images, arg)
         sel = jnp.where(opb == k, cand, sel)
     return jnp.where(do[:, None, None, None], sel, images)
 

@@ -25,7 +25,8 @@ def test_train_checkpoint_resume_inference_roundtrip(tmp_path):
     ds = SketchyImageDataset(data_dir=root)
     tr = TripletLoader(ds, cfg.batch_size, num_workers=2, seed=0)
     va = TripletLoader(ds, cfg.batch_size, num_workers=2, seed=1)
-    bb = create_model(cfg.model_name, num_classes=ds.get_cat_length())
+    bb = create_model(cfg.model_name, num_classes=ds.get_cat_length(),
+                      depth_mult=0.1, width_mult=0.5)
     trainer = Trainer(cfg, bb, tr, va)
     state1, _ = trainer.fit()
     steps_after_1 = int(state1.step)

@@ -1,0 +1,61 @@
+"""Pallas image-kernel tests (interpret mode) + batched-op consistency."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from imageretrievalresearch_tpu.ops import autoaugment as aa
+from imageretrievalresearch_tpu.ops.pallas_image import (
+    pallas_histogram,
+    pallas_lut_apply,
+)
+
+
+class TestKernels:
+    def test_lut_apply_matches_gather(self, rng):
+        img = rng.integers(0, 256, (6, 32, 40), dtype=np.uint8)
+        lut = rng.integers(0, 256, (6, 256)).astype(np.int32)
+        out = np.asarray(pallas_lut_apply(jnp.asarray(img), jnp.asarray(lut),
+                                          interpret=True))
+        ref = np.stack([lut[i][img[i]] for i in range(6)])
+        np.testing.assert_array_equal(out, ref)
+
+    def test_lut_apply_non_multiple_planes(self, rng):
+        img = rng.integers(0, 256, (13, 16, 24), dtype=np.uint8)
+        lut = rng.integers(0, 256, (13, 256)).astype(np.int32)
+        out = np.asarray(pallas_lut_apply(jnp.asarray(img), jnp.asarray(lut),
+                                          interpret=True))
+        assert out.shape == (13, 16, 24)
+        ref = np.stack([lut[i][img[i]] for i in range(13)])
+        np.testing.assert_array_equal(out, ref)
+
+    def test_histogram_matches_bincount(self, rng):
+        img = rng.integers(0, 256, (9, 16, 24), dtype=np.uint8)
+        out = np.asarray(pallas_histogram(jnp.asarray(img), interpret=True))
+        ref = np.stack([np.bincount(img[i].ravel(), minlength=256)
+                        for i in range(9)])
+        np.testing.assert_array_equal(out, ref)
+
+
+class TestBatchedOps:
+    def test_batched_equalize_matches_per_image(self, rng):
+        imgs = rng.integers(0, 256, (5, 24, 32, 3), dtype=np.uint8)
+        batched = np.asarray(aa.batched_equalize(jnp.asarray(imgs)))
+        per = np.asarray(jax.vmap(aa.op_equalize)(
+            jnp.asarray(imgs), jnp.zeros(5)))
+        np.testing.assert_array_equal(batched, per)
+
+    def test_batched_autocontrast_matches_per_image(self, rng):
+        imgs = rng.integers(20, 200, (5, 24, 32, 3), dtype=np.uint8)
+        batched = np.asarray(aa.batched_autocontrast(jnp.asarray(imgs)))
+        per = np.asarray(jax.vmap(aa.op_autocontrast)(
+            jnp.asarray(imgs), jnp.zeros(5)))
+        np.testing.assert_array_equal(batched, per)
+
+    def test_policy_still_deterministic(self, rng):
+        imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+        a = np.asarray(aa.imagenet_policy_batch(jnp.asarray(imgs),
+                                                jax.random.key(5)))
+        b = np.asarray(aa.imagenet_policy_batch(jnp.asarray(imgs),
+                                                jax.random.key(5)))
+        np.testing.assert_array_equal(a, b)

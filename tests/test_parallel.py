@@ -26,7 +26,8 @@ from imageretrievalresearch_tpu.train import (
 def _setup(num_classes=4):
     cfg = TrainConfig(model_name="efficientnet_b0", image_size=32,
                       compute_dtype="float32")
-    bb = create_model(cfg.model_name, num_classes=num_classes)
+    bb = create_model(cfg.model_name, num_classes=num_classes,
+                      depth_mult=0.1, width_mult=0.5)
     variables = bb.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
     tx = make_optimizer("Adam", 1e-3, 1e-5)
     state = EmbedTrainState.from_backbone(bb, variables, tx)

@@ -27,7 +27,8 @@ def engine_setup(tmp_path_factory):
     ds = SketchyImageDataset(data_dir=root)
     dl = TripletLoader(ds, batch_size=4, num_workers=1, seed=0,
                        shuffle=False)
-    bb = create_model("efficientnet_b0", num_classes=ds.get_cat_length())
+    bb = create_model("efficientnet_b0", num_classes=ds.get_cat_length(),
+                      depth_mult=0.1, width_mult=0.5)
     variables = bb.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
     tr = jax.jit(lambda x: x.astype(jnp.float32) / 255.0)
     eng = RetrievalEngine(bb, variables, transform=tr)
@@ -39,7 +40,7 @@ class TestEngine:
         ds, dl, bb, variables, eng = engine_setup
         embeds = eng.embed_triplet_loader(dl, keep_images=True)
         n = (len(ds) // 4) * 4
-        assert embeds["fms_ims_all"].shape == (n, 1280)
+        assert embeds["fms_ims_all"].shape == (n, 640)  # width 0.5
         assert embeds["classes_all"].shape == (n,)
         assert embeds["ims"].shape == (n, 32, 32, 3)
 
@@ -101,7 +102,7 @@ class TestGradCAM:
     def test_pair_cam_shape_and_range(self, engine_setup, rng):
         ds, dl, bb, variables, eng = engine_setup
         x = jnp.asarray(rng.random((2, 32, 32, 3)), dtype=jnp.float32)
-        ref = jnp.asarray(rng.normal(size=(2, 1280)), dtype=jnp.float32)
+        ref = jnp.asarray(rng.normal(size=(2, 640)), dtype=jnp.float32)
         cam = np.asarray(grad_cam_pair(bb, variables, x, ref))
         assert cam.shape == (2, 1, 1)  # 32px -> 1x1 final fm
         assert (cam >= 0).all() and (cam <= 1).all()

@@ -74,7 +74,8 @@ class TestSteps:
     @pytest.fixture(scope="class")
     def setup(self):
         cfg = _tiny_cfg()
-        bb = create_model(cfg.model_name, num_classes=4)
+        bb = create_model(cfg.model_name, num_classes=4,
+                          depth_mult=0.1, width_mult=0.5)
         sample = jnp.zeros((1, 32, 32, 3))
         variables = bb.init(jax.random.key(0), sample)
         tx = make_optimizer("Adam", 1e-3, 1e-5)
@@ -145,7 +146,8 @@ class TestTrainerEndToEnd:
         ds = SketchyImageDataset(data_dir=root)
         tr = TripletLoader(ds, cfg.batch_size, num_workers=2, seed=0)
         va = TripletLoader(ds, cfg.batch_size, num_workers=2, seed=1)
-        bb = create_model(cfg.model_name, num_classes=ds.get_cat_length())
+        bb = create_model(cfg.model_name, num_classes=ds.get_cat_length(),
+                          depth_mult=0.1, width_mult=0.5)
         trainer = Trainer(cfg, bb, tr, va)
         assert jax.device_count() == 8  # sanity: virtual mesh active
         state, history = trainer.fit()
