@@ -59,6 +59,17 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["sketchy", "original", "soft"])
     p.add_argument("--pos_policy", type=str, default="cat")
     p.add_argument("--neg_policy", type=str, default="except_cat")
+    p.add_argument("--sketch_qry", action="store_true",
+                   help="sketches become queries too (sketchy layout)")
+    p.add_argument("--pos_return_num", type=int, default=1)
+    p.add_argument("--neg_return_num", type=int, default=1)
+    p.add_argument("--use_native_loader", action="store_true",
+                   help="decode batches with the C++ loader (native/)")
+    p.add_argument("--recipe", type=str, default=None,
+                   help="named preset (T1-T6): "
+                        "train / train_efficientnet / "
+                        "train_efficient_cos_con_ce_loss / train_vit_triplet"
+                        " / train_vit_crossentropy / find_lr")
     p.add_argument("--max_epochs", type=int, default=300)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--num_workers", type=int, default=8)
@@ -86,8 +97,16 @@ def run(args: argparse.Namespace) -> None:
     print(f"\nTraining Arguments:\n{argstr}")
 
     cfg_fields = {f for f in TrainConfig.__dataclass_fields__}
-    cfg = TrainConfig(**{k: v for k, v in vars(args).items()
-                         if k in cfg_fields})
+    overrides = {k: v for k, v in vars(args).items() if k in cfg_fields}
+    if args.recipe:
+        from imageretrievalresearch_tpu.recipes import make_config
+        # explicit CLI values override the preset; argparse defaults do not
+        defaults = vars(build_parser().parse_args([]))
+        explicit = {k: v for k, v in overrides.items()
+                    if defaults.get(k) != v}
+        cfg = make_config(args.recipe, **explicit)
+    else:
+        cfg = TrainConfig(**overrides)
     ds_cls = {"sketchy": SketchyImageDataset,
               "original": OriginalImageDataset,
               "soft": TripletImageDataset}[cfg.dataset]
@@ -95,6 +114,12 @@ def run(args: argparse.Namespace) -> None:
     def make_ds(split):
         kw = dict(data_dir=cfg.ims_path, pos_policy=cfg.pos_policy,
                   neg_policy=cfg.neg_policy)
+        if cfg.dataset == "sketchy" and args.sketch_qry:
+            kw["sketch_qry"] = True
+        if args.pos_return_num != 1:
+            kw["pos_return_num"] = args.pos_return_num
+        if args.neg_return_num != 1:
+            kw["neg_return_num"] = args.neg_return_num
         if cfg.split_json:
             kw.update(trainval_json=cfg.split_json, trainval=split)
         return ds_cls(**kw)
@@ -109,10 +134,12 @@ def run(args: argparse.Namespace) -> None:
 
     train_loader = TripletLoader(tr_ds, cfg.batch_size, shuffle=True,
                                  drop_last=True, num_workers=cfg.num_workers,
-                                 seed=cfg.seed, host_size=cfg.image_size)
+                                 seed=cfg.seed, host_size=cfg.image_size,
+                                 use_native=args.use_native_loader)
     val_loader = (TripletLoader(val_ds, cfg.batch_size, shuffle=True,
                                 drop_last=True, num_workers=cfg.num_workers,
-                                seed=cfg.seed + 1, host_size=cfg.image_size)
+                                seed=cfg.seed + 1, host_size=cfg.image_size,
+                                use_native=args.use_native_loader)
                   if val_ds else None)
 
     save_name = f"{cfg.model_name}_{cfg.optimizer_name}_{cfg.learning_rate}"
