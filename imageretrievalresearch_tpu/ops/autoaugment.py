@@ -451,9 +451,45 @@ def batched_autocontrast(images: jax.Array) -> jax.Array:
     return out.reshape(b, c, h, w).transpose(0, 2, 3, 1).astype(jnp.uint8)
 
 
+def batched_shear_x(images: jax.Array, vm: jax.Array) -> jax.Array:
+    """(B, H, W, 3) uint8 + (B,) signed magnitudes -> sheared batch.
+
+    Gather-free roll-accumulate formulation: shearX is a per-row fractional
+    shift, so ``out = Σ_s coeff(b, y, s) · roll(img, -s)`` over the static
+    integer-shift range, with the 4-tap cubic weights folded into the
+    coefficients. Static rolls + fused multiply-adds are fast on TPU where
+    the per-pixel gather form is ~100x slower (PERF.md); matches
+    :func:`op_shear_x` within ±1 (rounding-tie accumulation order).
+    """
+    b, h, w, c = images.shape
+    vf = images.astype(jnp.float32).transpose(0, 3, 1, 2)   # (B,3,H,W)
+    ys = jnp.arange(h, dtype=jnp.float32)
+    src0 = vm[:, None] * (ys[None, :] + 0.5)        # (B,H); src = x + src0
+    base = jnp.floor(src0).astype(jnp.int32)
+    frac = src0 - base
+    smax = int(_MAGS[SHEAR_X].max() * h) + 3        # |v| <= 0.3
+    out = jnp.zeros_like(vf)
+    col = jnp.arange(w, dtype=jnp.int32)[None, None, None, :]
+    for s in range(-smax, smax + 1):
+        coeff = jnp.zeros(base.shape, jnp.float32)
+        for tap in range(-1, 3):
+            coeff = coeff + jnp.where(base + tap == s,
+                                      _cubic_kernel(frac - tap), 0.0)
+        rolled = jnp.roll(vf, -s, axis=3)
+        inside = (col + s >= 0) & (col + s <= w - 1)
+        pix = jnp.where(inside, rolled, float(FILL))
+        out = out + coeff[:, None, :, None] * pix
+    srcx = jnp.arange(w, dtype=jnp.float32)[None, None, :] + src0[:, :, None]
+    valid = (srcx >= -0.5) & (srcx <= w - 0.5)
+    out = jnp.where(valid[:, None, :, :], out, float(FILL))
+    out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    return out.transpose(0, 2, 3, 1)
+
+
 _BATCHED_OPS = {
     EQUALIZE: lambda images, arg: batched_equalize(images),
     AUTOCONTRAST: lambda images, arg: batched_autocontrast(images),
+    SHEAR_X: lambda images, arg: batched_shear_x(images, arg),
 }
 
 # ops that can actually be selected at each stage position of the 25

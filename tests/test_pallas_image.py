@@ -52,6 +52,16 @@ class TestBatchedOps:
             jnp.asarray(imgs), jnp.zeros(5)))
         np.testing.assert_array_equal(batched, per)
 
+    def test_batched_shear_matches_per_image(self, rng):
+        imgs = rng.integers(0, 256, (4, 48, 40, 3), dtype=np.uint8)
+        for v in (0.25, -0.3, 0.05):
+            vm = jnp.full((4,), v, jnp.float32)
+            batched = np.asarray(aa.batched_shear_x(jnp.asarray(imgs), vm))
+            per = np.asarray(jax.vmap(aa.op_shear_x)(jnp.asarray(imgs), vm))
+            diff = np.abs(batched.astype(int) - per.astype(int))
+            # accumulation-order rounding ties only
+            assert diff.max() <= 1 and (diff > 0).mean() < 0.001
+
     def test_policy_still_deterministic(self, rng):
         imgs = rng.integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
         a = np.asarray(aa.imagenet_policy_batch(jnp.asarray(imgs),

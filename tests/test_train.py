@@ -137,6 +137,25 @@ class TestSteps:
             "val_loss", "val_loss_ce_ims"}
 
 
+class TestLearningSignal:
+    def test_loss_decreases_on_fixed_batch(self, rng):
+        """Optimization sanity: repeated steps on one batch reduce the loss
+        (catches sign errors in losses/grads that shape tests can't)."""
+        cfg = _tiny_cfg(learning_rate=1e-3)
+        bb = create_model(cfg.model_name, num_classes=4,
+                          depth_mult=0.1, width_mult=0.5)
+        variables = bb.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        tx = make_optimizer("Adam", 1e-3, 1e-5)
+        state = EmbedTrainState.from_backbone(bb, variables, tx)
+        step = jax.jit(build_train_step(bb, cfg))
+        batch = _fake_batch(rng)
+        losses = []
+        for i in range(12):
+            state, metrics = step(state, batch, jax.random.key(0))
+            losses.append(float(metrics["train_loss"]))
+        assert losses[-1] < losses[0] * 0.8, losses
+
+
 class TestTrainerEndToEnd:
     def test_fit_two_epochs_on_synthetic_sketchy(self, tmp_path):
         root = make_sketchy_tree(str(tmp_path / "sk"), n_cats=3, n_prods=1,
