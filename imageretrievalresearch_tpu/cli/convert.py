@@ -1,0 +1,56 @@
+"""Checkpoint conversion CLI: torch/Lightning .ckpt -> orbax variables dir.
+
+Converts the reference's published checkpoints
+(checkpoints/checkpoints_path.txt) — or any timm-naming torch state dict for
+a supported family — into this framework's native orbax format:
+
+    python -m imageretrievalresearch_tpu.cli.convert \
+        --checkpoint epoch=22-...ckpt --model_name efficientnet_b3a \
+        --num_classes 125 --out converted/effb3a
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="torch -> orbax conversion")
+    p.add_argument("--checkpoint", required=True,
+                   help="torch/Lightning checkpoint path")
+    p.add_argument("--model_name", required=True)
+    p.add_argument("--num_classes", type=int, default=125)
+    p.add_argument("--out", required=True, help="orbax output directory")
+    p.add_argument("--image_size", type=int, default=224)
+    p.add_argument("--conv_input", action="store_true")
+    p.add_argument("--not_lightning", action="store_true",
+                   help="plain torch state dict (no 'model.' prefix strip)")
+    p.add_argument("--lenient", action="store_true",
+                   help="allow missing/unused keys")
+    return p
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from imageretrievalresearch_tpu.models import create_model
+    from imageretrievalresearch_tpu.models.convert import load_checkpoint
+
+    backbone = create_model(args.model_name, num_classes=args.num_classes,
+                            conv_input=args.conv_input)
+    variables = load_checkpoint(
+        args.checkpoint, backbone,
+        sample_shape=(1, args.image_size, args.image_size, 3),
+        from_pytorch_lightning=not args.not_lightning,
+        strict=not args.lenient)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(args.out), variables)
+    ckptr.wait_until_finished()
+    print(f"Converted {args.checkpoint} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

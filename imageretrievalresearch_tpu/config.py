@@ -62,6 +62,7 @@ class TrainConfig:
     checkpoint_dir: str | None = None
     wandb: bool = False               # observability is pluggable; no
                                       # hardcoded keys (cf. train/train.py:43)
+    profile_dir: str | None = None    # jax.profiler trace of early steps
 
     @property
     def loss_mode(self) -> str:

@@ -12,15 +12,27 @@ from imageretrievalresearch_tpu.ops.preprocess import (
     IMAGENET_MEAN,
     IMAGENET_STD,
     build_batch_transform,
+    build_triplet_transform,
     square_pad,
 )
 from imageretrievalresearch_tpu.ops.pooling import get_fm
+from imageretrievalresearch_tpu.ops.retrieval import (
+    cosine_scores,
+    cosine_topk,
+    l2_normalize,
+)
+from imageretrievalresearch_tpu.ops.autoaugment import imagenet_policy_batch
 
 __all__ = [
     "TransformSpec",
     "IMAGENET_MEAN",
     "IMAGENET_STD",
     "build_batch_transform",
+    "build_triplet_transform",
     "square_pad",
     "get_fm",
+    "cosine_scores",
+    "cosine_topk",
+    "l2_normalize",
+    "imagenet_policy_batch",
 ]

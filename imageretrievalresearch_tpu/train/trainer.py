@@ -82,6 +82,19 @@ class Trainer:
                                        mode=cfg.monitor_mode,
                                        save_top_k=cfg.save_top_k)
                      if cfg.checkpoint_dir else None)
+        if cfg.checkpoint_dir:
+            # hyperparameters alongside checkpoints (the reference's
+            # Lightning save_hyperparameters yaml, train/train.py:133)
+            import dataclasses
+            import os
+
+            import yaml
+            os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+            with open(os.path.join(cfg.checkpoint_dir, "hparams.yaml"),
+                      "w") as f:
+                yaml.safe_dump(
+                    {k: (list(v) if isinstance(v, tuple) else v)
+                     for k, v in dataclasses.asdict(cfg).items()}, f)
 
         steps_per_epoch = max(1, len(train_loader))
         self.schedule = multistep_lr(cfg.learning_rate, cfg.milestones,
@@ -127,15 +140,26 @@ class Trainer:
         self.train_loader.set_epoch(epoch)
         key = jax.random.key(self.cfg.seed + 1000 + epoch)
         agg: dict[str, list] = {}
+        profiling = False
         for i, batch in enumerate(self.train_loader):
+            if self.cfg.profile_dir and epoch == 0 and i == 1:
+                # trace steps 1-3 of the first epoch (step 0 is compile)
+                jax.profiler.start_trace(self.cfg.profile_dir)
+                profiling = True
             key, bkey, skey = jax.random.split(key, 3)
             fbatch = self._prepare(batch, bkey if self.cfg.autoaugment
                                    else None)
             state, metrics = self._train_step(state, fbatch, skey)
             step = int(state.step)
+            if profiling and i >= 3:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                profiling = False
             self.logger.log(metrics, step)
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(float(v))
+        if profiling:
+            jax.profiler.stop_trace()
         return state, {k: float(np.mean(v)) for k, v in agg.items()}
 
     def eval_epoch(self, state: EmbedTrainState, loader=None) -> dict:
