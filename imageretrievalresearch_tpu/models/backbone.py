@@ -30,6 +30,7 @@ from imageretrievalresearch_tpu.models.efficientnet import (
     EfficientNet,
 )
 from imageretrievalresearch_tpu.models.layers import ConvStem
+from imageretrievalresearch_tpu.models.resnet import RESNET_CONFIGS, ResNet
 from imageretrievalresearch_tpu.models.rexnet import REXNET_CONFIGS, RexNet
 from imageretrievalresearch_tpu.models.swin import SWIN_CONFIGS, SwinTransformer
 from imageretrievalresearch_tpu.ops.pooling import get_fm
@@ -46,6 +47,7 @@ def _register_family(configs: dict, ctor: Callable[..., nn.Module]) -> None:
 _register_family(EFFICIENTNET_CONFIGS, EfficientNet)
 _register_family(REXNET_CONFIGS, RexNet)
 _register_family(SWIN_CONFIGS, SwinTransformer)
+_register_family(RESNET_CONFIGS, ResNet)
 
 
 def list_models() -> list[str]:

@@ -156,6 +156,42 @@ def rexnet_key_map(width_mult: float, depth_mult: float,
     return m
 
 
+def resnet_key_map(layers) -> dict:
+    """timm ResNet naming -> our module paths (Bottleneck blocks)."""
+    m: dict = {}
+    ff = ("forward_features",)
+    m["conv1.weight"] = (ff + ("conv1", "kernel"), "conv")
+    for t_suf, ours, kind in (("weight", "scale", "bn_scale"),
+                              ("bias", "bias", "bn_bias"),
+                              ("running_mean", "mean", "bn_mean"),
+                              ("running_var", "var", "bn_var")):
+        m[f"bn1.{t_suf}"] = (ff + ("bn1", ours), kind)
+    for sidx, blocks in enumerate(layers):
+        for i in range(blocks):
+            t = f"layer{sidx + 1}.{i}"
+            dst = ff + (f"layer{sidx + 1}_{i}",)
+            for conv in ("conv1", "conv2", "conv3"):
+                bnn = conv.replace("conv", "bn")
+                m[f"{t}.{conv}.weight"] = (dst + (conv, "kernel"), "conv")
+                for t_suf, ours, kind in (("weight", "scale", "bn_scale"),
+                                          ("bias", "bias", "bn_bias"),
+                                          ("running_mean", "mean", "bn_mean"),
+                                          ("running_var", "var", "bn_var")):
+                    m[f"{t}.{bnn}.{t_suf}"] = (dst + (bnn, ours), kind)
+            if i == 0:  # only the first block of each stage has a downsample
+                m[f"{t}.downsample.0.weight"] = (
+                    dst + ("downsample_conv", "kernel"), "conv")
+                for t_suf, ours, kind in (("weight", "scale", "bn_scale"),
+                                          ("bias", "bias", "bn_bias"),
+                                          ("running_mean", "mean", "bn_mean"),
+                                          ("running_var", "var", "bn_var")):
+                    m[f"{t}.downsample.1.{t_suf}"] = (
+                        dst + ("downsample_bn", ours), kind)
+    m["fc.weight"] = (("head", "fc", "kernel"), "linear")
+    m["fc.bias"] = (("head", "fc", "bias"), "bias")
+    return m
+
+
 def swin_key_map(depths, num_heads) -> dict:
     """timm SwinTransformer naming -> our module paths.
 
@@ -208,6 +244,7 @@ _FAMILY_MAPPERS = {
     r"^rexnet": lambda net: rexnet_key_map(net.width_mult, net.depth_mult,
                                            net.ch_div),
     r"^swin": lambda net: swin_key_map(net.depths, net.num_heads),
+    r"^(ig_)?resne(t|xt)": lambda net: resnet_key_map(net.layers),
 }
 
 
