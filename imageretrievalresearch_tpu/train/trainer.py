@@ -150,16 +150,20 @@ class Trainer:
             fbatch = self._prepare(batch, bkey if self.cfg.autoaugment
                                    else None)
             state, metrics = self._train_step(state, fbatch, skey)
-            step = int(state.step)
             if profiling and i >= 3:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
                 profiling = False
-            self.logger.log(metrics, step)
+            # keep metrics on device: fetching per step would synchronize
+            # the pipeline (and costs ~30ms/scalar over remote transports);
+            # only steps on the logging cadence are materialized now
+            if (i + 1) % self.cfg.log_every_n_steps == 0:
+                self.logger.log(metrics, int(state.step), force=True)
             for k, v in metrics.items():
-                agg.setdefault(k, []).append(float(v))
+                agg.setdefault(k, []).append(v)
         if profiling:
             jax.profiler.stop_trace()
+        agg = jax.device_get(agg)
         return state, {k: float(np.mean(v)) for k, v in agg.items()}
 
     def eval_epoch(self, state: EmbedTrainState, loader=None) -> dict:
@@ -169,7 +173,8 @@ class Trainer:
             fbatch = self._prepare(batch, None)
             metrics = self._eval_step(state, fbatch)
             for k, v in metrics.items():
-                agg.setdefault(k, []).append(float(v))
+                agg.setdefault(k, []).append(v)   # stay on device
+        agg = jax.device_get(agg)
         return {k: float(np.mean(v)) for k, v in agg.items()}
 
     def fit(self, state: EmbedTrainState | None = None,
