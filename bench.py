@@ -31,17 +31,24 @@ K = 150
 REF_SAMPLE = 8  # queries to time for the torch reference loop
 
 
+def _device_embeddings():
+    """Random gallery/queries generated ON DEVICE — uploading 600+ MB of
+    host arrays through a remote-TPU transport dominates the bench wall
+    clock otherwise."""
+    import jax
+
+    gallery = jax.random.normal(jax.random.key(0), (GALLERY, DIM))
+    queries = jax.random.normal(jax.random.key(1), (QUERIES, DIM))
+    jax.block_until_ready(gallery)
+    return queries, gallery
+
+
 def bench_tpu_retrieval() -> float:
     import jax
-    import jax.numpy as jnp
 
     from imageretrievalresearch_tpu.ops.retrieval import cosine_topk
 
-    rng = np.random.default_rng(0)
-    gallery = jnp.asarray(rng.normal(size=(GALLERY, DIM)).astype(np.float32))
-    queries = jnp.asarray(rng.normal(size=(QUERIES, DIM)).astype(np.float32))
-    gallery = jax.device_put(gallery)
-    queries = jax.device_put(queries)
+    queries, gallery = _device_embeddings()
 
     def run():
         v, i = cosine_topk(queries, gallery, K, query_block=512)
@@ -89,13 +96,10 @@ def bench_reference_cpu() -> float:
 def bench_tpu_retrieval_approx() -> float:
     """Serving-path variant: bf16 matmul + lax.approx_max_k (recall 0.95)."""
     import jax
-    import jax.numpy as jnp
 
     from imageretrievalresearch_tpu.ops.retrieval import cosine_topk
 
-    rng = np.random.default_rng(0)
-    gallery = jnp.asarray(rng.normal(size=(GALLERY, DIM)).astype(np.float32))
-    queries = jnp.asarray(rng.normal(size=(QUERIES, DIM)).astype(np.float32))
+    queries, gallery = _device_embeddings()
 
     def run():
         v, i = cosine_topk(queries, gallery, K, query_block=2048,
@@ -130,8 +134,8 @@ def bench_embed_throughput(batch: int = 64) -> float:
         jax.random.key(0))
     variables = jax.tree.map(
         lambda s: jnp.full(s.shape, 0.01, s.dtype), var_shapes)
-    x = jnp.asarray(np.random.default_rng(0).random((batch, 224, 224, 3)),
-                    dtype=jnp.bfloat16)
+    x = jax.random.uniform(jax.random.key(2), (batch, 224, 224, 3),
+                           dtype=jnp.bfloat16)
     embed = jax.jit(lambda v, x: backbone.embed(v, x))
     e = embed(variables, x)
     np.asarray(e[:1, :1])

@@ -166,20 +166,26 @@ class TripletLoader:
         stop = threading.Event()
 
         def produce():
-            if self.use_native:
-                for bidx in batches:
-                    if stop.is_set():
-                        return
-                    q.put(self._native_batch(bidx))
+            # always enqueue a terminal item — an exception here must not
+            # leave the consumer blocked on q.get() forever
+            try:
+                if self.use_native:
+                    for bidx in batches:
+                        if stop.is_set():
+                            return
+                        q.put(self._native_batch(bidx))
+                else:
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        for bidx in batches:
+                            if stop.is_set():
+                                return
+                            items = list(pool.map(self._fetch,
+                                                  bidx.tolist()))
+                            q.put(self._collate(items))
+            except BaseException as e:  # noqa: BLE001 - relayed to consumer
+                q.put(e)
+            else:
                 q.put(None)
-                return
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for bidx in batches:
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(self._fetch, bidx.tolist()))
-                    q.put(self._collate(items))
-            q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -188,6 +194,8 @@ class TripletLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()
