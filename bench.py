@@ -117,7 +117,7 @@ def bench_tpu_retrieval_approx() -> float:
     return QUERIES / min(times)
 
 
-def bench_embed_throughput(batch: int = 64) -> float:
+def bench_embed_throughput(batch: int = 256) -> float:
     """efficientnet_b3a bf16 embedding images/sec/chip (BASELINE metric #1)."""
     import jax
     import jax.numpy as jnp
