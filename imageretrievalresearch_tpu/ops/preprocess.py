@@ -100,9 +100,11 @@ def _apply(spec: TransformSpec, images: jax.Array,
         from imageretrievalresearch_tpu.ops.autoaugment import imagenet_policy_batch
         if key is None:
             raise ValueError("autoaugment transform requires a PRNG key")
-        x = jnp.clip(x, 0, 255)
-        x = imagenet_policy_batch(x.astype(jnp.uint8)
-                                  if x.dtype != jnp.uint8 else x, key)
+        if x.dtype != jnp.uint8:
+            # round (not truncate) post-resize floats back to the uint8
+            # domain AutoAugment operates in (PIL pipelines are uint8-chained)
+            x = jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+        x = imagenet_policy_batch(x, key)
     x = x.astype(jnp.float32) / 255.0
     if spec.normalize is not None:
         mean, std = spec.normalize

@@ -123,10 +123,15 @@ class Trainer:
         rng = rng if rng is not None else jax.random.key(self.cfg.seed)
         shape = sample_shape or (1, self.cfg.image_size,
                                  self.cfg.image_size, 3)
-        sample = jnp.zeros(shape, dtype=self.cfg.compute_dtype)
-        variables = self.backbone.init(rng, sample)
-        state = EmbedTrainState.from_backbone(self.backbone, variables,
-                                              self.tx)
+        # initialize on the host CPU, then replicate: pushing the init
+        # program through a remote-TPU transport is several minutes of
+        # needless compile for a one-shot computation
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            sample = jnp.zeros(shape, dtype=self.cfg.compute_dtype)
+            variables = self.backbone.init(rng, sample)
+            state = EmbedTrainState.from_backbone(self.backbone, variables,
+                                                  self.tx)
         return jax.device_put(state, replicate(self.mesh))
 
     # --- loops ---
