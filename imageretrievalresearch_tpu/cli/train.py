@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--neg_return_num", type=int, default=1)
     p.add_argument("--use_native_loader", action="store_true",
                    help="decode batches with the C++ loader (native/)")
+    p.add_argument("--host_size", type=int, default=None,
+                   help="host-side decode size (default: image_size). Set "
+                        "to the source resolution (e.g. 256 for Sketchy) to "
+                        "defer the final resize to the device's antialiased "
+                        "path")
     p.add_argument("--recipe", type=str, default=None,
                    help="named preset (T1-T6): "
                         "train / train_efficientnet / "
@@ -132,13 +137,14 @@ def run(args: argparse.Namespace) -> None:
         print(f"Number of validation set images: {len(val_ds)}")
     print(f"\nTrain dataset has {num_classes} classes")
 
+    host_size = args.host_size or cfg.image_size
     train_loader = TripletLoader(tr_ds, cfg.batch_size, shuffle=True,
                                  drop_last=True, num_workers=cfg.num_workers,
-                                 seed=cfg.seed, host_size=cfg.image_size,
+                                 seed=cfg.seed, host_size=host_size,
                                  use_native=args.use_native_loader)
     val_loader = (TripletLoader(val_ds, cfg.batch_size, shuffle=True,
                                 drop_last=True, num_workers=cfg.num_workers,
-                                seed=cfg.seed + 1, host_size=cfg.image_size,
+                                seed=cfg.seed + 1, host_size=host_size,
                                 use_native=args.use_native_loader)
                   if val_ds else None)
 
