@@ -27,7 +27,8 @@ GALLERY = 100_000
 DIM = 1536
 QUERIES = 2048
 K = 150
-REF_SAMPLE = 8  # queries to time for the torch reference loop
+REF_MIN_QUERIES = 8    # reference loop: at least this many queries...
+REF_MIN_SECONDS = 20.0  # ...and at least this much wall clock (noise floor)
 
 
 def _device_embeddings():
@@ -78,18 +79,24 @@ def bench_reference_cpu() -> float:
     rng = np.random.default_rng(0)
     gallery = torch.from_numpy(rng.normal(size=(GALLERY, DIM))
                                .astype(np.float32))
-    queries = torch.from_numpy(rng.normal(size=(REF_SAMPLE, DIM))
+    queries = torch.from_numpy(rng.normal(size=(64, DIM))
                                .astype(np.float32))
     cos = torch.nn.CosineSimilarity(dim=1, eps=1e-6)
     # warm once
     torch.topk(cos(queries[0].unsqueeze(0), gallery), k=K)
+    # time-bounded loop: >= REF_MIN_QUERIES queries and >= REF_MIN_SECONDS
+    # wall clock, so the baseline denominator isn't a noisy 8-sample spot
+    n = 0
     t0 = time.perf_counter()
     with torch.no_grad():
-        for i in range(REF_SAMPLE):
-            vals, inds = torch.topk(cos(queries[i].unsqueeze(0), gallery),
-                                    k=K)
-    dt = time.perf_counter() - t0
-    return REF_SAMPLE / dt
+        while True:
+            q = queries[n % queries.shape[0]]
+            vals, inds = torch.topk(cos(q.unsqueeze(0), gallery), k=K)
+            n += 1
+            dt = time.perf_counter() - t0
+            if n >= REF_MIN_QUERIES and dt >= REF_MIN_SECONDS:
+                break
+    return n / dt
 
 
 def bench_tpu_retrieval_approx() -> float:

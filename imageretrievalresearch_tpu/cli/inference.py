@@ -31,15 +31,54 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split_json", type=str, default=None)
     p.add_argument("--topk_variant", type=str, default="class_dedup",
                    choices=["class_dedup", "index_match"])
+    p.add_argument("--transform", type=str, default="squarepad",
+                   choices=["squarepad", "plain"],
+                   help="'squarepad' = the reference eval pipeline SquarePad"
+                        " -> ToTensor -> Normalize(ImageNet) "
+                        "(inference/inference.py:48-62); 'plain' = bare "
+                        "resize + /255 for framework-trained checkpoints")
+    p.add_argument("--host_size", type=int, default=None,
+                   help="host-side decode resize (default: stack at source "
+                        "resolution so SquarePad sees the true aspect ratio;"
+                        " set for ragged-size sources)")
     p.add_argument("--viz_dir", type=str, default=None,
                    help="write retrieval visualization grids here")
     return p
 
 
-def run(args: argparse.Namespace) -> None:
+def build_eval_transform(kind: str, input_size: int):
+    """The CLI's batch transform on uint8 NHWC.
+
+    - 'squarepad': the reference eval pipeline SquarePad(255) -> ToTensor ->
+      Normalize(ImageNet) (inference/inference.py:48-62,
+      utils/square_pad.py:29-36), plus the resize to ``input_size`` the
+      reference delegates to its dataset.
+    - 'plain': resize + /255 (embedding inputs as trained by this
+      framework's default recipes, which do not normalize).
+    """
     import jax
     import jax.numpy as jnp
 
+    if kind == "squarepad":
+        from imageretrievalresearch_tpu.ops.preprocess import (
+            TransformSpec,
+            build_batch_transform,
+        )
+        return build_batch_transform(TransformSpec.eval_squarepad(input_size))
+    size = (input_size, input_size)
+
+    @jax.jit
+    def plain(x):
+        x = x.astype(jnp.float32)
+        if x.shape[1:3] != size:
+            x = jax.image.resize(x, (x.shape[0],) + size + (x.shape[3],),
+                                 method="bilinear", antialias=True)
+        return x / 255.0
+
+    return plain
+
+
+def run(args: argparse.Namespace) -> None:
     from imageretrievalresearch_tpu.data import (
         SketchyImageDataset,
         TripletLoader,
@@ -61,16 +100,22 @@ def run(args: argparse.Namespace) -> None:
     num_classes = ds.get_cat_length()
     print(f"The dataset has {num_classes} classes")
     print(f"Number of test samples: {len(ds)}")
+    # 'squarepad' pads at source resolution (so the pad sees the true
+    # aspect ratio) then resizes on device; 'plain' pre-resizes on host
+    host_size = args.host_size
+    if host_size is None and args.transform == "plain":
+        host_size = args.input_size
     dl = TripletLoader(ds, args.batch_size, shuffle=True, drop_last=True,
-                       num_workers=8, host_size=args.input_size)
+                       num_workers=8, host_size=host_size)
 
     backbone = create_model(args.model_name, num_classes=num_classes,
                             conv_input=args.conv_input)
     variables = load_checkpoint(args.checkpoint_path, backbone,
                                 sample_shape=(1, args.input_size,
                                               args.input_size, 3))
-    transform = jax.jit(lambda x: x.astype(jnp.float32) / 255.0)
-    engine = RetrievalEngine(backbone, variables, transform=transform)
+    engine = RetrievalEngine(backbone, variables,
+                             transform=build_eval_transform(
+                                 args.transform, args.input_size))
 
     keep = args.viz_dir is not None
     embeds = engine.embed_triplet_loader(dl, keep_images=keep)

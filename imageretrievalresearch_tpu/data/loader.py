@@ -165,6 +165,18 @@ class TripletLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded-timeout put so an abandoned consumer (stop set, queue
+            # full) never leaves this thread blocked forever holding decoded
+            # batches
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             # always enqueue a terminal item — an exception here must not
             # leave the consumer blocked on q.get() forever
@@ -173,7 +185,8 @@ class TripletLoader:
                     for bidx in batches:
                         if stop.is_set():
                             return
-                        q.put(self._native_batch(bidx))
+                        if not put(self._native_batch(bidx)):
+                            return
                 else:
                     with ThreadPoolExecutor(self.num_workers) as pool:
                         for bidx in batches:
@@ -181,11 +194,12 @@ class TripletLoader:
                                 return
                             items = list(pool.map(self._fetch,
                                                   bidx.tolist()))
-                            q.put(self._collate(items))
+                            if not put(self._collate(items)):
+                                return
             except BaseException as e:  # noqa: BLE001 - relayed to consumer
-                q.put(e)
+                put(e)
             else:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

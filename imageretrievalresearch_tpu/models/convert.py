@@ -260,10 +260,21 @@ def key_map_for(backbone) -> dict:
 # conversion
 # ---------------------------------------------------------------------------
 
+# torch/timm state dicts carry non-parameter buffers that have no Flax
+# counterpart: BN bookkeeping (num_batches_tracked) and Swin's recomputed
+# relative_position_index / attn_mask. They must not trip the strict check
+# on real Lightning checkpoints (inference/inference.py:114-124 loads them
+# with the full buffer set present).
+_NONPARAM_BUFFER_RE = re.compile(
+    r"(^|\.)(num_batches_tracked|relative_position_index|attn_mask)$")
+
+
 def convert_torch_state_dict(state_dict: dict, backbone,
                              variables: dict, *, strict: bool = True) -> dict:
     """Map a (prefix-stripped) torch state dict onto freshly-initialized
     variables, with shape checks. Returns updated variables."""
+    state_dict = {k: v for k, v in state_dict.items()
+                  if not _NONPARAM_BUFFER_RE.search(k)}
     mapping = key_map_for(backbone)
     params = jax.tree.map(np.asarray, variables["net"]["params"])
     stats = jax.tree.map(np.asarray,

@@ -27,6 +27,11 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
     g = gallery.shape[0]
     assert g % n_dev == 0, "pad gallery to a multiple of the mesh size"
     shard = g // n_dev
+    # k is clamped to the gallery size (not silently to the shard size:
+    # local candidates are min(k, shard) per device, which still covers the
+    # exact global top-k because each device contributes its full shard
+    # ranking prefix — k > shard just means every shard row is a candidate)
+    k = min(k, g)
 
     def local_rank(q_hat, g_local):
         # g_local: (shard, D) on each device

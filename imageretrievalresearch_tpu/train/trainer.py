@@ -77,9 +77,16 @@ class Trainer:
         self.mesh = mesh or make_mesh(cfg.num_devices)
         self.logger = logger or MetricLogger(
             cfg.checkpoint_dir, log_every_n_steps=cfg.log_every_n_steps)
+        # without a val loader the monitored validation metric (cos_sims by
+        # default) never exists — fall back to the train loss so training
+        # still persists weights instead of silently discarding them
+        monitor, monitor_mode = cfg.monitor, cfg.monitor_mode
+        if val_loader is None and not monitor.startswith("train"):
+            monitor, monitor_mode = "train_loss", "min"
+        self._ckpt_monitor = monitor
         self.ckpt = (CheckpointManager(cfg.checkpoint_dir,
-                                       monitor=cfg.monitor,
-                                       mode=cfg.monitor_mode,
+                                       monitor=monitor,
+                                       mode=monitor_mode,
                                        save_top_k=cfg.save_top_k)
                      if cfg.checkpoint_dir else None)
         if cfg.checkpoint_dir:
@@ -218,6 +225,11 @@ class Trainer:
                     history["epochs"].append(epoch_metrics)
                     history["stopped_early"] = epoch
                     break
+            elif self.ckpt and self._ckpt_monitor in epoch_metrics:
+                # no validation loader: checkpoint per epoch on the train
+                # metric so fit() never ends with zero saved weights
+                self.ckpt.save(int(state.step), jax.device_get(state),
+                               epoch_metrics)
             history["epochs"].append(epoch_metrics)
         if self.ckpt:
             self.ckpt.wait()

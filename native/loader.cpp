@@ -17,6 +17,7 @@
 #include <cstdio>
 #include <cstring>
 #include <functional>
+#include <memory>
 #include <mutex>
 #include <queue>
 #include <thread>
@@ -78,14 +79,17 @@ class ThreadPool {
   bool stop_;
 };
 
-ThreadPool* pool(int want) {
+// Reference-counted pool handle: a resize replaces the shared pointer, but
+// any in-flight batch call keeps the old pool alive (and is the one to join
+// its workers on release) — never destroys a pool under a concurrent caller.
+std::shared_ptr<ThreadPool> pool(int want) {
   static std::mutex mu;
-  static ThreadPool* p = nullptr;
+  static std::shared_ptr<ThreadPool> p;
   std::lock_guard<std::mutex> lk(mu);
-  if (p == nullptr || (want > 0 && p->size() != want)) {
-    delete p;
-    p = new ThreadPool(want > 0 ? want
-                               : std::max(2u, std::thread::hardware_concurrency()));
+  if (!p || (want > 0 && p->size() != want)) {
+    p = std::make_shared<ThreadPool>(
+        want > 0 ? want
+                 : std::max(2u, std::thread::hardware_concurrency()));
   }
   return p;
 }
@@ -261,7 +265,7 @@ extern "C" {
 // hardware concurrency. Thread-safe w.r.t. distinct output buffers.
 int irt_decode_resize_batch(const char** paths, int n, int th, int tw,
                             uint8_t* out, int num_threads) {
-  ThreadPool* tp = pool(num_threads);
+  std::shared_ptr<ThreadPool> tp = pool(num_threads);
   std::atomic<int> failures(0);
   std::atomic<int> done(0);
   std::mutex mu;

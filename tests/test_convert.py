@@ -155,11 +155,13 @@ class TestEfficientNetParity:
         return tmodel, bb, variables
 
     def test_strict_conversion_covers_all_torch_keys(self, pair):
+        # raw state dict, num_batches_tracked buffers included: the
+        # converter must filter non-parameter buffers itself (real torch /
+        # Lightning checkpoints always carry them)
         tmodel, bb, _ = pair
         variables = bb.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)))
-        sd = {k: v for k, v in tmodel.state_dict().items()
-              if "num_batches_tracked" not in k}
-        convert_torch_state_dict(sd, bb, variables, strict=True)
+        convert_torch_state_dict(tmodel.state_dict(), bb, variables,
+                                 strict=True)
 
     def test_forward_features_parity(self, pair, rng):
         tmodel, bb, variables = pair
@@ -181,8 +183,7 @@ class TestEfficientNetParity:
 
     def test_lightning_prefix_strip_roundtrip(self, pair, tmp_path, rng):
         tmodel, bb, variables = pair
-        sd = {f"model.{k}": v for k, v in tmodel.state_dict().items()
-              if "num_batches_tracked" not in k}
+        sd = {f"model.{k}": v for k, v in tmodel.state_dict().items()}
         ckpt_path = str(tmp_path / "epoch=1-val_loss=0.1.ckpt")
         torch.save({"state_dict": sd}, ckpt_path)
         loaded = load_checkpoint(ckpt_path, bb, sample_shape=(1, 64, 64, 3))

@@ -89,9 +89,8 @@ class TestResNetParity:
         bb = create_model("resnet50", num_classes=5, layers=(2, 2),
                           groups=groups, base_width=base_width)
         variables = bb.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
-        sd = {k: v for k, v in tmodel.state_dict().items()
-              if "num_batches_tracked" not in k}
-        variables = convert_torch_state_dict(sd, bb, variables, strict=True)
+        variables = convert_torch_state_dict(tmodel.state_dict(), bb,
+                                             variables, strict=True)
         x = rng.random((2, 64, 64, 3)).astype(np.float32)
         with torch.no_grad():
             tl = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()

@@ -125,9 +125,8 @@ class TestRexNetParity:
                         .astype(np.float32)))
         bb = create_model("rexnet_100", num_classes=5)
         variables = bb.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
-        sd = {k: v for k, v in tmodel.state_dict().items()
-              if "num_batches_tracked" not in k}
-        variables = convert_torch_state_dict(sd, bb, variables, strict=True)
+        variables = convert_torch_state_dict(tmodel.state_dict(), bb,
+                                             variables, strict=True)
         return tmodel, bb, variables
 
     def test_forward_features_parity(self, pair, rng):

@@ -186,9 +186,8 @@ class TestSwinParity:
                           num_heads=(2, 4), window_sizes=(7, 7),
                           drop_path_rate=0.0)
         variables = bb.init(jax.random.key(0), jnp.zeros((1, 56, 56, 3)))
-        sd = {k: v for k, v in tmodel.state_dict().items()
-              if "relative_position_index" not in k and "attn_mask" not in k}
-        variables = convert_torch_state_dict(sd, bb, variables, strict=True)
+        variables = convert_torch_state_dict(tmodel.state_dict(), bb,
+                                             variables, strict=True)
         return tmodel, bb, variables
 
     def test_forward_features_parity(self, pair, rng):

@@ -198,3 +198,25 @@ class TestTripletLoader:
         dl = TripletLoader(ds, batch_size=4, num_workers=1, host_size=24)
         b = next(iter(dl))
         assert b["qry"].shape == (4, 24, 24, 3)
+
+    def test_abandoned_iterator_releases_producer_thread(self, sketchy_root):
+        """Breaking out of iteration mid-epoch must not leave the producer
+        thread blocked forever on a full prefetch queue (ADVICE r1)."""
+        import threading
+        import time
+
+        ds = SketchyImageDataset(data_dir=sketchy_root)
+        dl = TripletLoader(ds, batch_size=2, num_workers=1, prefetch=1)
+        before = {t.ident for t in threading.enumerate()}
+        it = iter(dl)
+        next(it)          # producer now filling/blocked on the tiny queue
+        it.close()        # abandon mid-epoch -> generator finally sets stop
+        deadline = time.time() + 10.0
+        while time.time() < deadline:
+            extra = [t for t in threading.enumerate()
+                     if t.ident not in before and t.is_alive()
+                     and t.name.startswith("Thread")]
+            if not extra:
+                break
+            time.sleep(0.05)
+        assert not extra, f"producer thread leaked: {extra}"

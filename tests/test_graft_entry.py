@@ -29,3 +29,26 @@ class TestGraftEntry:
     def test_dryrun_multichip_two_devices(self):
         mod = _load_entry()
         mod.dryrun_multichip(2)
+
+    def test_dryrun_multichip_self_bootstraps(self):
+        """The driver contract: dryrun_multichip(n) must work standalone in
+        a process that sees FEWER than n devices (MULTICHIP_r01 failed on
+        exactly this). Spawn a fresh interpreter pinned to a single CPU
+        device — no conftest flags — and let the entry bootstrap its own
+        2-device virtual mesh in a subprocess."""
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+        env["PYTHONPATH"] = repo
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "assert len(jax.devices()) == 1, jax.devices(); "
+            "import __graft_entry__ as g; g.dryrun_multichip(2)"
+        )
+        res = subprocess.run([sys.executable, "-c", code], env=env, cwd=repo,
+                             capture_output=True, text=True, timeout=560)
+        assert res.returncode == 0, (res.stdout, res.stderr)
+        assert "dryrun_multichip(2)" in res.stdout

@@ -179,3 +179,21 @@ class TestTrainerEndToEnd:
         restored = trainer.ckpt.restore(jax.device_get(state))
         ra = jax.tree.leaves(restored.params)[0]
         assert np.isfinite(np.asarray(ra)).all()
+
+    def test_fit_without_val_loader_still_checkpoints(self, tmp_path):
+        """No --split_json -> no val loader; weights must still be saved
+        (ADVICE r1: fit used to run with zero checkpoints in this mode)."""
+        root = make_sketchy_tree(str(tmp_path / "sk"), n_cats=3, n_prods=1,
+                                 n_photos=6, n_sketches=3, size=32)
+        cfg = _tiny_cfg(batch_size=8, checkpoint_dir=str(tmp_path / "ckpt"),
+                        max_epochs=1, learning_rate=1e-3)
+        ds = SketchyImageDataset(data_dir=root)
+        tr = TripletLoader(ds, cfg.batch_size, num_workers=2, seed=0)
+        bb = create_model(cfg.model_name, num_classes=ds.get_cat_length(),
+                          depth_mult=0.1, width_mult=0.5)
+        trainer = Trainer(cfg, bb, tr, val_loader=None)
+        state, history = trainer.fit()
+        assert trainer.ckpt.latest_step() is not None
+        restored = trainer.ckpt.restore(jax.device_get(state))
+        ra = jax.tree.leaves(restored.params)[0]
+        assert np.isfinite(np.asarray(ra)).all()
