@@ -1,8 +1,9 @@
 """Benchmark: fused gallery retrieval at 100k gallery (BASELINE.json config #5).
 
-Headline metric: retrieval queries/sec through the compiled cosine-topk path
-(L2-normalize + blocked MXU matmul + two-stage top-k, k=150 — the notebook
-ranking semantics) on a 100k x 1536 gallery (efficientnet_b3a embedding dim).
+Headline metric: retrieval queries/sec through the exact cosine-topk path
+(on TPU: the fused Pallas streaming kernel — normalize + MXU matmul +
+in-VMEM exact top-k, k=150, notebook ranking semantics) on a 100k x 1536
+gallery (efficientnet_b3a embedding dim).
 
 ``vs_baseline`` = our qps / the reference's eager per-query CPU loop
 (torch CosineSimilarity + torch.topk per query, inference semantics of

@@ -19,6 +19,7 @@ from imageretrievalresearch_tpu.ops.pooling import get_fm
 from imageretrievalresearch_tpu.ops.retrieval import (
     cosine_scores,
     cosine_topk,
+    fused_cosine_topk_pallas,
     l2_normalize,
 )
 from imageretrievalresearch_tpu.ops.autoaugment import imagenet_policy_batch
@@ -33,6 +34,7 @@ __all__ = [
     "get_fm",
     "cosine_scores",
     "cosine_topk",
+    "fused_cosine_topk_pallas",
     "l2_normalize",
     "imagenet_policy_batch",
 ]

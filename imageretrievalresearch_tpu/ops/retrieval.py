@@ -124,8 +124,175 @@ def pallas_cosine_scores(queries_hat: jax.Array, gallery: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Pallas fused kernel: normalize + matmul + streaming EXACT top-k
+# ---------------------------------------------------------------------------
+#
+# The north-star retrieval kernel (BASELINE.json): the (Q, G) score matrix is
+# never materialized in HBM. Design (sort-free — XLA's sort-based top_k has a
+# ~26 ms floor at Q=2048 on v5e even for 512-wide inputs):
+#
+# 1. Gallery tiles of GT rows stream through VMEM; scores for a (QT, GT)
+#    tile come off the MXU and are divided by precomputed gallery norms.
+# 2. Bins: gallery item g belongs to bin (g mod GT), so each tile holds
+#    exactly one member of every bin. A per-bin top-T running buffer
+#    (QT, T, GT) lives in VMEM scratch and is updated with a T-deep
+#    compare/swap insertion chain (pure VPU, no sort, stable ties).
+# 3. Epilogue (last gallery tile): the exact top-k is extracted from the
+#    T*GT candidates by k max+mask passes in VMEM, ties broken by lowest
+#    global index (torch.topk / lax.top_k order).
+# 4. Exactness certificate: the result equals lax.top_k iff no bin needed
+#    more than its T stored values, i.e. max_bins(T-th value) < k-th
+#    extracted value. The certificate is returned per query row; the
+#    public wrapper falls back to the dense path via lax.cond when any row
+#    fails (probability ~1e-4 per call for k=150, T=6, GT=512 under a
+#    uniform spread of the true top-k over bins; adversarial consecutive
+#    duplicates land in distinct bins by construction of g mod GT).
+#
+# Reference semantics preserved: training_analysis.ipynb cell 2
+# ``topk(cos(fm, fms_poss_all), k=150)``.
+
+
+def _fused_topk_kernel(q_ref, g_ref, gnorm_ref, vals_out, inds_out, ok_out,
+                       bufv_ref, bufi_ref, *, k: int, t_depth: int,
+                       g_real: int):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    qt = q_ref.shape[0]
+    gt = g_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _init():
+        bufv_ref[:] = jnp.full_like(bufv_ref, -jnp.inf)
+        bufi_ref[:] = jnp.zeros_like(bufi_ref)
+
+    # normalize the gallery tile BEFORE the matmul — the same arithmetic
+    # order as the dense path (l2_normalize(gallery) then dot), so scores
+    # agree bitwise and near-tie rankings match lax.top_k exactly
+    g_hat = g_ref[:].astype(jnp.float32) / jnp.maximum(
+        gnorm_ref[:], COSINE_SIM_EPS)                       # (GT, D)/(GT, 1)
+    s = jax.lax.dot_general(
+        q_ref[:].astype(jnp.float32), g_hat,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qt, gt), 1)
+    idx = j * gt + lane
+    s = jnp.where(idx < g_real, s, -jnp.inf)                # mask padding
+
+    # insertion chain: new value sinks below equal/greater stored values,
+    # so ties keep the earlier (lower global index) entry on top.
+    # The (QT, t_depth * GT) buffers hold depth t in lane block t (all
+    # shapes strictly 2-D: Mosaic layout inference rejects 1-D/3-D forms).
+    cur_v, cur_i = s, idx
+    for t in range(t_depth):
+        sl = slice(t * gt, (t + 1) * gt)
+        old_v = bufv_ref[:, sl]
+        old_i = bufi_ref[:, sl]
+        take = cur_v > old_v
+        bufv_ref[:, sl] = jnp.where(take, cur_v, old_v)
+        bufi_ref[:, sl] = jnp.where(take, cur_i, old_i)
+        cur_v = jnp.where(take, old_v, cur_v)
+        cur_i = jnp.where(take, old_i, cur_i)
+
+    @pl.when(j == nj - 1)
+    def _epilogue():
+        int_max = jnp.iinfo(jnp.int32).max
+        # certificate part 1: deepest stored value per row, before
+        # extraction mutates the buffer
+        tth = jnp.max(bufv_ref[:, (t_depth - 1) * gt:], axis=1,
+                      keepdims=True)                           # (QT, 1)
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
+
+        def extract(n, thr):
+            bv = bufv_ref[:]
+            bi = bufi_ref[:]
+            m = jnp.max(bv, axis=1, keepdims=True)             # (QT, 1)
+            is_m = bv == m
+            mi = jnp.min(jnp.where(is_m, bi, int_max), axis=1,
+                         keepdims=True)                        # (QT, 1)
+            hit = (kiota == n)
+            vals_out[:] = jnp.where(hit, m, vals_out[:])
+            inds_out[:] = jnp.where(hit, mi, inds_out[:])
+            bufv_ref[:] = jnp.where(is_m & (bi == mi), -jnp.inf, bv)
+            return m
+
+        vals_out[:] = jnp.zeros_like(vals_out)
+        inds_out[:] = jnp.zeros_like(inds_out)
+        thr = jax.lax.fori_loop(0, k, extract,
+                                jnp.full((qt, 1), jnp.inf, jnp.float32))
+        ok_out[:] = (tth < thr).astype(jnp.int32)
+
+
+def fused_cosine_topk_pallas(
+        queries_hat: jax.Array, gallery: jax.Array, k: int,
+        *, q_tile: int = 256, g_tile: int = 512, t_depth: int = 6,
+        interpret: bool = False
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(Q, D) normalized queries x (G, D) raw gallery -> exact top-k
+    ``(vals, inds, ok)`` with per-row exactness certificate ``ok``.
+
+    Rows with ``ok == 0`` (a bin overflowed its T-deep buffer, or a value
+    tie straddles the k-th position) must be re-ranked by a dense method —
+    see :func:`cosine_topk`, which wraps this with a lax.cond fallback.
+    """
+    q, d = queries_hat.shape
+    g = gallery.shape[0]
+    assert k <= t_depth * g_tile, (k, t_depth, g_tile)
+    qp, gp = _round_up(q, q_tile), _round_up(g, g_tile)
+    qh = jnp.pad(queries_hat.astype(jnp.float32), ((0, qp - q), (0, 0)))
+    gh = jnp.pad(gallery.astype(jnp.float32), ((0, gp - g), (0, 0)))
+    gnorm = jnp.linalg.norm(gh, axis=1)[:, None]             # (GP, 1)
+
+    grid = (qp // q_tile, gp // g_tile)
+    kernel = functools.partial(_fused_topk_kernel, k=k, t_depth=t_depth,
+                               g_real=g)
+    vals, inds, ok = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_tile, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_tile, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g_tile, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((q_tile, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((qp, k), jnp.float32),
+            jax.ShapeDtypeStruct((qp, k), jnp.int32),
+            jax.ShapeDtypeStruct((qp, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((q_tile, t_depth * g_tile), jnp.float32),
+            pltpu.VMEM((q_tile, t_depth * g_tile), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * gp * d,
+            bytes_accessed=(qp * d + gp * d + gp + qp * 2 * k) * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(qh, gh, gnorm)
+    return vals[:q], inds[:q], ok[:q, 0]
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
+
+def _fused_eligible(q: int, g: int, d: int, k: int,
+                    g_tile: int, t_depth: int) -> bool:
+    """Fused-kernel guard: enough gallery to amortize, D fits VMEM tiles,
+    k fits the candidate buffer."""
+    return (g >= 4 * g_tile and d <= 2048 and k <= t_depth * g_tile
+            and k <= 1024)
+
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "query_block", "use_pallas",
@@ -138,57 +305,78 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
                 matmul_dtype: str = "float32") -> tuple[jax.Array, jax.Array]:
     """Top-k cosine retrieval: (Q, D) × (G, D) -> (vals, inds) each (Q, k).
 
-    The compiled replacement for the reference's per-query loop. Queries
-    stream through in ``query_block`` chunks; the (block, G) score matrix is
-    transient. Options:
+    The compiled replacement for the reference's per-query loop. Methods:
 
-    - ``use_pallas``: score via the fused Pallas normalize+matmul kernel
-      (TPU; ``interpret=True`` for CPU testing).
-    - ``method='exact'`` (default, torch-parity ranking) or ``'approx'``
-      (``lax.approx_max_k``, TPU-optimized partial reduce — on a v5e this
-      cuts the 100k-gallery top-150 from ~95 ms to ~2 ms per 2048 queries at
-      ``recall_target=0.95``; use for serving-scale galleries).
-    - ``matmul_dtype='bfloat16'`` runs the score matmul on the MXU at 2x
-      f32 rate with f32 accumulation (scores within ~1e-2 of f32; ranking
-      of near-ties can differ, so default stays f32 for parity).
+    - ``method='exact'`` (default, torch-parity ranking): on TPU, large
+      galleries route through the fused Pallas streaming kernel
+      (:func:`fused_cosine_topk_pallas`) — normalize + MXU matmul + exact
+      top-k in VMEM, (Q, G) scores never materialized — with a lax.cond
+      dense fallback when the per-row exactness certificate fails. Other
+      backends / small galleries use the dense blocked path (queries
+      stream in ``query_block`` chunks, two-stage top-k).
+    - ``method='fused'`` forces the fused kernel (``interpret=True`` for
+      CPU testing); ``method='dense'`` forces the blocked dense path.
+    - ``method='approx'``: ``lax.approx_max_k`` (TPU partial reduce,
+      recall ~0.95) for serving-scale galleries.
+    - ``use_pallas``: score the dense path via the Pallas normalize+matmul
+      scores kernel.
+    - ``matmul_dtype='bfloat16'`` runs the dense score matmul at 2x f32
+      MXU rate with f32 accumulation (near-tie ranking may differ; default
+      stays f32 for parity).
     """
     q, d = queries.shape
     g = gallery.shape[0]
     k = min(k, g)
     q_hat = l2_normalize(queries)
-    if use_pallas:
-        g_for_scores = gallery.astype(jnp.float32)
-    else:
-        g_for_scores = l2_normalize(gallery)
 
-    qb = min(query_block, _round_up(q, 8))
-    qp = _round_up(q, qb)
-    q_pad = jnp.pad(q_hat, ((0, qp - q), (0, 0)))
-    blocks = q_pad.reshape(qp // qb, qb, d)
+    fused = method == "fused" or (
+        method == "exact"
+        and (jax.default_backend() == "tpu" or interpret)
+        and not use_pallas and matmul_dtype == "float32"
+        and _fused_eligible(q, g, d, k, 512, 6))
 
-    def scores(qblk):
+    def dense_rank(q_hat):
         if use_pallas:
-            return pallas_cosine_scores(qblk, g_for_scores,
-                                        interpret=interpret)
-        if matmul_dtype == "bfloat16":
-            return jax.lax.dot_general(
-                qblk.astype(jnp.bfloat16),
-                g_for_scores.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        return qblk @ g_for_scores.T
+            g_for_scores = gallery.astype(jnp.float32)
+        else:
+            g_for_scores = l2_normalize(gallery)
 
-    def rank_block(qblk):
-        sims = scores(qblk)
-        if method == "approx":
-            return jax.lax.approx_max_k(sims, k,
-                                        recall_target=recall_target)
-        return chunked_topk(sims, k)
+        qb = min(query_block, _round_up(q, 8))
+        qp = _round_up(q, qb)
+        q_pad = jnp.pad(q_hat, ((0, qp - q), (0, 0)))
+        blocks = q_pad.reshape(qp // qb, qb, d)
 
-    vals, inds = jax.lax.map(rank_block, blocks)
-    vals = vals.reshape(qp, k)[:q]
-    inds = inds.reshape(qp, k)[:q]
-    return vals, inds
+        def scores(qblk):
+            if use_pallas:
+                return pallas_cosine_scores(qblk, g_for_scores,
+                                            interpret=interpret)
+            if matmul_dtype == "bfloat16":
+                return jax.lax.dot_general(
+                    qblk.astype(jnp.bfloat16),
+                    g_for_scores.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return qblk @ g_for_scores.T
+
+        def rank_block(qblk):
+            sims = scores(qblk)
+            if method == "approx":
+                return jax.lax.approx_max_k(sims, k,
+                                            recall_target=recall_target)
+            return chunked_topk(sims, k)
+
+        vals, inds = jax.lax.map(rank_block, blocks)
+        return vals.reshape(qp, k)[:q], inds.reshape(qp, k)[:q]
+
+    if not fused:
+        return dense_rank(q_hat)
+
+    vals, inds, ok = fused_cosine_topk_pallas(q_hat, gallery, k,
+                                              interpret=interpret)
+    return jax.lax.cond(jnp.all(ok == 1),
+                        lambda _: (vals, inds),
+                        lambda _: dense_rank(q_hat),
+                        None)
 
 
 def cosine_scores(queries: jax.Array, gallery: jax.Array,

@@ -9,6 +9,7 @@ from imageretrievalresearch_tpu.ops.retrieval import (
     chunked_topk,
     cosine_scores,
     cosine_topk,
+    fused_cosine_topk_pallas,
     l2_normalize,
     pallas_cosine_scores,
 )
@@ -90,6 +91,108 @@ class TestMethodOptions:
                                & set(np.asarray(i2)[i].tolist())) / 5
                            for i in range(30)])
         assert overlap > 0.9
+
+
+class TestFusedTopk:
+    """The streaming exact top-k kernel (interpret mode on CPU).
+
+    Exact-match tests use integer-valued embeddings: scores are then
+    bitwise-reproducible across matmul lowerings, so index equality with
+    lax.top_k is well-defined (with float data, different accumulation
+    orders perturb near-ties by ~1 ULP — covered by the statistical test).
+    """
+
+    def _int_qg(self, rng, q=24, g=2100, d=32):
+        """Rows of 16 entries of ±1 (norm exactly 4): normalized entries,
+        products, and partial sums are all exactly representable in f32, so
+        scores are bitwise-identical under ANY accumulation order — and
+        quantized to multiples of 1/16, mass-producing genuine ties."""
+        def rows(n):
+            out = np.zeros((n, d), np.float32)
+            for r in range(n):
+                pos = rng.choice(d, 16, replace=False)
+                out[r, pos] = rng.choice([-1.0, 1.0], 16)
+            return out
+        return rows(q), rows(g)
+
+    def test_exact_match_ties_and_certificate_soundness(self, rng):
+        q, g = self._int_qg(rng)
+        g[500] = g[3]        # exact duplicates -> more ties
+        g[1700] = g[3]
+        qh = l2_normalize(jnp.asarray(q))
+        v, i, ok = fused_cosine_topk_pallas(qh, jnp.asarray(g), 150,
+                                            interpret=True)
+        rv, ri = jax.lax.top_k(qh @ l2_normalize(jnp.asarray(g)).T, 150)
+        ok, i, ri = np.asarray(ok), np.asarray(i), np.asarray(ri)
+        v, rv = np.asarray(v), np.asarray(rv)
+        assert ok.any()
+        # soundness: every certificate-true row equals lax.top_k exactly,
+        # including the torch tie order (lowest index first)
+        for r in np.nonzero(ok)[0]:
+            np.testing.assert_array_equal(i[r], ri[r])
+            np.testing.assert_array_equal(v[r], rv[r])
+        # the public wrapper is exact regardless of certificates
+        wv, wi = cosine_topk(jnp.asarray(q), jnp.asarray(g), 150,
+                             method="fused", interpret=True)
+        np.testing.assert_array_equal(np.asarray(wi), ri)
+        np.testing.assert_array_equal(np.asarray(wv), rv)
+
+    def test_certificate_fails_on_bin_overflow_and_wrapper_falls_back(
+            self, rng):
+        # 8 distinct strong rows at stride 512 share bin 0; with t_depth=6
+        # the bin overflows its buffer -> certificate must go false, and
+        # the cosine_topk wrapper must still return the exact result via
+        # its dense fallback
+        q, g = self._int_qg(rng, q=8, g=4096)
+        for t in range(8):
+            row = np.zeros((32,), np.float32)
+            row[:16] = 1.0
+            row[16 + t] = 0.0   # keep distinct-but-similar direction
+            row[t] = 2.0 + t    # dominant alignment, distinct norms
+            g[t * 512] = row
+        q[:] = 0.0
+        q[:, :16] = 1.0          # all queries align with the strong rows
+        qh = l2_normalize(jnp.asarray(q))
+        v, i, ok = fused_cosine_topk_pallas(qh, jnp.asarray(g), 150,
+                                            interpret=True)
+        assert not np.asarray(ok).all()
+        rv, ri = jax.lax.top_k(qh @ l2_normalize(jnp.asarray(g)).T, 150)
+        wv, wi = cosine_topk(jnp.asarray(q), jnp.asarray(g), 150,
+                             method="fused", interpret=True)
+        np.testing.assert_array_equal(np.asarray(wi), np.asarray(ri))
+
+    def test_float_data_near_tie_divergence_only(self, rng):
+        q, g = _qg(rng, q=16, g=2100, d=64)
+        qh = l2_normalize(jnp.asarray(q))
+        v, i, ok = fused_cosine_topk_pallas(qh, jnp.asarray(g), 150,
+                                            interpret=True)
+        rv, ri = jax.lax.top_k(qh @ l2_normalize(jnp.asarray(g)).T, 150)
+        v, i = np.asarray(v), np.asarray(i)
+        rv, ri = np.asarray(rv), np.asarray(ri)
+        mism = i != ri
+        assert mism.mean() < 0.005, mism.mean()
+        # every divergence is a ULP-level near-tie, not a ranking error
+        if mism.any():
+            np.testing.assert_allclose(v[mism], rv[mism],
+                                       rtol=0, atol=1e-5)
+
+    def test_ragged_shapes_and_small_k(self, rng):
+        q, g = self._int_qg(rng, q=7, g=777)
+        wv, wi = cosine_topk(jnp.asarray(q), jnp.asarray(g), 5,
+                             method="fused", interpret=True)
+        rv, ri = jax.lax.top_k(
+            l2_normalize(jnp.asarray(q)) @ l2_normalize(jnp.asarray(g)).T, 5)
+        np.testing.assert_array_equal(np.asarray(wi), np.asarray(ri))
+
+    def test_exact_dispatch_stays_dense_on_cpu(self, rng):
+        # method='exact' without interpret must not pick the Pallas path on
+        # a CPU backend (compile-time dispatch)
+        q, g = self._int_qg(rng, q=4, g=2100)
+        v, i = cosine_topk(jnp.asarray(q), jnp.asarray(g), 10)
+        rv, ri = jax.lax.top_k(
+            l2_normalize(jnp.asarray(q)) @ l2_normalize(jnp.asarray(g)).T,
+            10)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
 
 
 class TestPallasScores:
