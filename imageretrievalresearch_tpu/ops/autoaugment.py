@@ -462,9 +462,23 @@ def batched_shear_x(images: jax.Array, vm: jax.Array) -> jax.Array:
     :func:`op_shear_x` within ±1 (rounding-tie accumulation order).
     """
     b, h, w, c = images.shape
-    vf = images.astype(jnp.float32).transpose(0, 3, 1, 2)   # (B,3,H,W)
     ys = jnp.arange(h, dtype=jnp.float32)
     src0 = vm[:, None] * (ys[None, :] + 0.5)        # (B,H); src = x + src0
+
+    if _use_pallas():
+        # VMEM-resident cubic row-shift: one HBM read + write instead of a
+        # roll/mad round-trip per shift pass (~7x on v5e, PERF.md)
+        from imageretrievalresearch_tpu.ops.pallas_image import (
+            pallas_row_shift_cubic,
+        )
+        planes = images.transpose(0, 3, 1, 2)              # (B,3,H,W)
+        rows = planes.reshape(b * c * h, w)
+        src_rows = jnp.broadcast_to(src0[:, None, :], (b, c, h)).reshape(-1)
+        smax = int(_MAGS[SHEAR_X].max() * h) + 1
+        out = pallas_row_shift_cubic(rows, src_rows, smax=smax, fill=FILL)
+        return out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
+
+    vf = images.astype(jnp.float32).transpose(0, 3, 1, 2)   # (B,3,H,W)
     base = jnp.floor(src0).astype(jnp.int32)
     frac = src0 - base
     smax = int(_MAGS[SHEAR_X].max() * h) + 3        # |v| <= 0.3
@@ -486,11 +500,89 @@ def batched_shear_x(images: jax.Array, vm: jax.Array) -> jax.Array:
     return out.transpose(0, 2, 3, 1)
 
 
+def _nearest_row_shift(planes: jax.Array, v: jax.Array, smax: int,
+                       radix: int = 8) -> jax.Array:
+    """(B, C, H, W) uint8 + (B,) slopes -> per-row NEAREST shift about the
+    vertical center: out(y, x) = in(y, x + s(y)), s = ⌊v·(y+½−H/2) + ½⌋.
+
+    Gather-free and radix-factored: s = radix·q + r is applied as a coarse
+    select-accumulate over rolls of radix·q followed by a fine one over r —
+    ~2·smax/radix + radix select passes instead of 2·smax (compile size and
+    runtime both scale with the pass count). All uint8 selects; rolls wrap,
+    so out-of-image positions are masked to FILL from the total shift at
+    the end."""
+    b, c, h, w = planes.shape
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5 - h / 2.0
+    s_by = jnp.floor(v[:, None] * ys[None, :] + 0.5).astype(jnp.int32)
+
+    if _use_pallas():
+        # all select passes VMEM-resident: one HBM read + write total
+        from imageretrievalresearch_tpu.ops.pallas_image import (
+            pallas_row_shift,
+        )
+        rows = planes.reshape(b * c * h, w)
+        s_rows = jnp.broadcast_to(s_by[:, None, :], (b, c, h)).reshape(-1)
+        out = pallas_row_shift(rows, s_rows, smax=smax, radix=radix,
+                               fill=FILL)
+        return out.reshape(b, c, h, w)
+
+    q_by = s_by // radix                      # floor division
+    r_by = s_by - radix * q_by                # in [0, radix)
+    q4 = q_by[:, None, :, None]
+    r4 = r_by[:, None, :, None]
+    fill = jnp.asarray(FILL, planes.dtype)
+
+    acc = jnp.zeros_like(planes)
+    for q in range((-smax) // radix, smax // radix + 1):
+        acc = jnp.where(q4 == q, jnp.roll(planes, -radix * q, axis=3), acc)
+    out = jnp.zeros_like(planes)
+    for r in range(radix):
+        out = jnp.where(r4 == r, jnp.roll(acc, -r, axis=3), out)
+
+    col = jnp.arange(w, dtype=jnp.int32)[None, None, None, :]
+    src = col + s_by[:, None, :, None]
+    return jnp.where((src >= 0) & (src <= w - 1), out, fill)
+
+
+def batched_rotate(images: jax.Array, degrees: jax.Array) -> jax.Array:
+    """(B, H, W, 3) uint8 + (B,) signed degrees -> rotated batch.
+
+    Gather-free 3-shear decomposition of PIL NEAREST rotate:
+    ``R(θ) = Sx(tan θ/2) · Sy(−sin θ) · Sx(tan θ/2)`` (output→source
+    composition), each pass a per-row integer shift via roll-accumulate
+    (:func:`_nearest_row_shift`; the Sy pass runs on the transposed image).
+    Per-pass NEAREST rounding drifts ≤1 px from the exact single-gather
+    rotate (:func:`op_rotate`) — 60-80% of pixels land identically, the
+    rest on an adjacent pixel (immaterial for a random augmentation, ~5x
+    faster than the gather form on TPU — see PERF.md). CPU keeps the exact
+    gather for PIL parity.
+    """
+    b, h, w, c = images.shape
+    theta = -jnp.deg2rad(degrees)
+    a = jnp.tan(theta / 2.0)
+    bb = -jnp.sin(theta)
+    max_deg = float(_MAGS[ROTATE].max())
+    smax_a = int(np.tan(np.deg2rad(max_deg) / 2.0) * (h / 2.0)) + 1
+    smax_b = int(np.sin(np.deg2rad(max_deg)) * (w / 2.0)) + 1
+    planes = images.transpose(0, 3, 1, 2)               # (B, 3, H, W)
+    t1 = _nearest_row_shift(planes, a, smax_a)
+    t2 = _nearest_row_shift(t1.transpose(0, 1, 3, 2), bb, smax_b)
+    t3 = _nearest_row_shift(t2.transpose(0, 1, 3, 2), a, smax_a)
+    return t3.transpose(0, 2, 3, 1)
+
+
 _BATCHED_OPS = {
     EQUALIZE: lambda images, arg: batched_equalize(images),
     AUTOCONTRAST: lambda images, arg: batched_autocontrast(images),
     SHEAR_X: lambda images, arg: batched_shear_x(images, arg),
 }
+
+# the 3-shear rotate trades <=1 px NEAREST drift for ~5x speed — right for
+# the TPU hot path, wrong for the CPU PIL-parity surface, so it joins the
+# batched-op table only when compiling for TPU (same gate as the Pallas
+# LUT/histogram kernels)
+_BATCHED_OPS_TPU = dict(_BATCHED_OPS)
+_BATCHED_OPS_TPU[ROTATE] = lambda images, arg: batched_rotate(images, arg)
 
 # ops that can actually be selected at each stage position of the 25
 # ImageNetPolicy sub-policies (shearY/translateX/translateY never appear;
@@ -517,11 +609,12 @@ def _apply_stage(images: jax.Array, op: jax.Array, mag: jax.Array,
     geo = sign * mag
     enh = 1.0 + sign * mag
     opb = op.astype(jnp.int32)[:, None, None, None]
+    batched_ops = _BATCHED_OPS_TPU if _use_pallas() else _BATCHED_OPS
     sel = images
     for k in op_set:
         arg = enh if k in _ENH_OPS else (geo if k in _GEO_OPS else mag)
-        if k in _BATCHED_OPS:
-            cand = _BATCHED_OPS[k](images, arg)
+        if k in batched_ops:
+            cand = batched_ops[k](images, arg)
         else:
             cand = jax.vmap(_OP_FNS[k])(images, arg)
         sel = jnp.where(opb == k, cand, sel)

@@ -70,6 +70,165 @@ def pallas_histogram(img: jax.Array, *, interpret: bool = False) -> jax.Array:
     return out[:p]
 
 
+_ROWS_PER_PROGRAM = 512
+
+
+def _row_shift_kernel(rows_ref, s_ref, out_ref, *, radix: int, qlo: int,
+                      qhi: int, fill: int, w: int):
+    # Mosaic's roll only supports 32-bit data — compute in i32, store u8
+    x = rows_ref[:].astype(jnp.int32)             # (R, W)
+    s = s_ref[:]                                  # (R, 1) int32
+    q = s // radix
+    r = s - radix * q
+    acc = jnp.zeros_like(x)
+    for qq in range(qlo, qhi + 1):
+        # pltpu.roll requires a non-negative shift; left-roll by s is a
+        # right-roll by (w - s) mod w
+        acc = jnp.where(q == qq, pltpu.roll(x, (-radix * qq) % w, axis=1),
+                        acc)
+    out = jnp.zeros_like(x)
+    for rr in range(radix):
+        out = jnp.where(r == rr, pltpu.roll(acc, (-rr) % w, axis=1), out)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    src = col + s
+    out_ref[:] = jnp.where((src >= 0) & (src <= w - 1), out,
+                           fill).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("smax", "radix", "fill", "interpret"))
+def pallas_row_shift(rows: jax.Array, shifts: jax.Array, *, smax: int,
+                     radix: int = 8, fill: int = 128,
+                     interpret: bool = False) -> jax.Array:
+    """Per-row integer shift: (N, W) uint8 + (N,) int32 -> (N, W) with
+    out(n, x) = rows(n, x + shifts(n)) and ``fill`` outside [0, W).
+
+    The building block of gather-free NEAREST shear/rotate: the radix-
+    factored select-accumulate (s = radix·q + r) runs entirely in VMEM —
+    one HBM read + one write per row instead of one round-trip per shift
+    pass in the XLA formulation. |shifts| must be <= smax.
+    """
+    n, w = rows.shape
+    rb = _ROWS_PER_PROGRAM
+    npad = -(-n // rb) * rb
+    rows_p = jnp.pad(rows, ((0, npad - n), (0, 0)))
+    s_p = jnp.pad(shifts.astype(jnp.int32), (0, npad - n))[:, None]
+    kernel = functools.partial(
+        _row_shift_kernel, radix=radix, qlo=(-smax) // radix,
+        qhi=smax // radix, fill=fill, w=w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(npad // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, w), rows.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=npad * w * (2 * smax // radix + radix + 4),
+            bytes_accessed=npad * (2 * w + 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(rows_p, s_p)
+    return out[:n]
+
+
+def _cubic_w(s):
+    """PIL geometry bicubic kernel (a = -1.0), same as autoaugment's."""
+    a = -1.0
+    s = jnp.abs(s)
+    return jnp.where(
+        s < 1.0, ((a + 2) * s - (a + 3)) * s * s + 1,
+        jnp.where(s < 2.0, (((s - 5) * s + 8) * s - 4) * a, 0.0))
+
+
+def _row_shift_cubic_kernel(rows_ref, base_ref, frac_ref, out_ref, *,
+                            radix: int, qlo: int, qhi: int, fill: int,
+                            w: int):
+    # Mosaic can't cast u8 -> f32 directly; bounce through i32
+    x = rows_ref[:].astype(jnp.int32).astype(jnp.float32)   # (R, W)
+    base = base_ref[:]                            # (R, 1) int32
+    frac = frac_ref[:]                            # (R, 1) f32
+    q = base // radix
+    r = base - radix * q
+
+    # coarse: shift by radix*q (wrapping; bounds handled per fine pass)
+    xc = jnp.zeros_like(x)
+    for qq in range(qlo, qhi + 1):
+        xc = jnp.where(q == qq, pltpu.roll(x, (-radix * qq) % w, axis=1), xc)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    out = jnp.zeros_like(x)
+    wsum = jnp.zeros_like(frac)
+    # fine: total shift s = radix*q + f; the 4 cubic taps land on
+    # f = r + tap for tap in {-1, 0, 1, 2}, so f spans [-1, radix+1]
+    for f in range(-1, radix + 2):
+        coeff = jnp.zeros_like(frac)
+        for tap in range(-1, 3):
+            coeff = coeff + jnp.where(r + tap == f,
+                                      _cubic_w(frac - tap), 0.0)
+        s_f = radix * q + f                       # (R, 1)
+        inside = (col + s_f >= 0) & (col + s_f <= w - 1)
+        pix = jnp.where(inside, pltpu.roll(xc, (-f) % w, axis=1),
+                        jnp.float32(fill))
+        out = out + coeff * pix
+        wsum = wsum + coeff
+    out = out / jnp.maximum(wsum, 1e-8)
+    srcx = col.astype(jnp.float32) + base.astype(jnp.float32) + frac
+    valid = (srcx >= -0.5) & (srcx <= w - 0.5)
+    out = jnp.where(valid, out, jnp.float32(fill))
+    # f32 -> u8 must bounce through i32 (Mosaic cast support)
+    out_ref[:] = jnp.clip(jnp.round(out), 0, 255).astype(
+        jnp.int32).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("smax", "radix", "fill", "interpret"))
+def pallas_row_shift_cubic(rows: jax.Array, src0: jax.Array, *, smax: int,
+                           radix: int = 8, fill: int = 128,
+                           interpret: bool = False) -> jax.Array:
+    """Per-row FRACTIONAL shift with PIL-bicubic resampling: (N, W) uint8 +
+    (N,) f32 source offsets -> (N, W); out(n, x) resamples rows(n) at
+    x + src0(n) with the 4-tap a=-1 cubic, gray fill outside — the VMEM
+    form of autoaugment's roll-accumulate shear (one HBM read + write).
+    ⌊src0⌋ must lie in [-smax, smax]."""
+    n, w = rows.shape
+    rb = _ROWS_PER_PROGRAM
+    npad = -(-n // rb) * rb
+    rows_p = jnp.pad(rows, ((0, npad - n), (0, 0)))
+    src_p = jnp.pad(src0.astype(jnp.float32), (0, npad - n))
+    base = jnp.floor(src_p).astype(jnp.int32)[:, None]
+    frac = (src_p - jnp.floor(src_p))[:, None]
+    kernel = functools.partial(
+        _row_shift_cubic_kernel, radix=radix, qlo=(-smax) // radix,
+        qhi=smax // radix, fill=fill, w=w)
+    out = pl.pallas_call(
+        kernel,
+        grid=(npad // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rb, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad, w), rows.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=npad * w * (2 * (smax // radix) + 4 * (radix + 3) + 8),
+            bytes_accessed=npad * (2 * w + 8),
+            transcendentals=0),
+        interpret=interpret,
+    )(rows_p, base, frac)
+    return out[:n]
+
+
 def _lut_kernel(img_ref, lut_ref, out_ref):
     # per-plane scalar table reads from SMEM (dynamic lane indexing of a
     # VMEM vector is not expressible in Mosaic); plane loop is static so

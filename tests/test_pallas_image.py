@@ -8,6 +8,7 @@ from imageretrievalresearch_tpu.ops import autoaugment as aa
 from imageretrievalresearch_tpu.ops.pallas_image import (
     pallas_histogram,
     pallas_lut_apply,
+    pallas_row_shift,
 )
 
 
@@ -28,6 +29,45 @@ class TestKernels:
         assert out.shape == (13, 16, 24)
         ref = np.stack([lut[i][img[i]] for i in range(13)])
         np.testing.assert_array_equal(out, ref)
+
+    def test_row_shift_matches_numpy(self, rng):
+        n, w, smax = 700, 224, 57
+        rows = rng.integers(0, 256, (n, w), dtype=np.uint8)
+        shifts = rng.integers(-smax, smax + 1, n).astype(np.int32)
+        out = np.asarray(pallas_row_shift(jnp.asarray(rows),
+                                          jnp.asarray(shifts), smax=smax,
+                                          interpret=True))
+        ref = np.full_like(rows, 128)
+        for r in range(n):
+            xs = np.arange(w) + shifts[r]
+            ok = (xs >= 0) & (xs < w)
+            ref[r, ok] = rows[r, xs[ok]]
+        np.testing.assert_array_equal(out, ref)
+
+    def test_row_shift_cubic_matches_xla_shear(self, rng):
+        # the Pallas cubic row-shift must reproduce the XLA roll-accumulate
+        # shear (same taps/weights; summation grouping differs -> ±1 on
+        # rounding ties)
+        b, h, w = 3, 48, 56
+        imgs = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+        vm = jnp.asarray([-0.3, 0.05, 0.28], jnp.float32)
+        ref = np.asarray(aa.batched_shear_x(jnp.asarray(imgs), vm))
+
+        from imageretrievalresearch_tpu.ops.pallas_image import (
+            pallas_row_shift_cubic,
+        )
+        ys = np.arange(h, dtype=np.float32)
+        src0 = np.asarray(vm)[:, None] * (ys[None, :] + 0.5)
+        planes = imgs.transpose(0, 3, 1, 2)
+        rows = planes.reshape(-1, w)
+        src_rows = np.broadcast_to(src0[:, None, :], (b, 3, h)).reshape(-1)
+        smax = int(0.3 * h) + 1
+        out = np.asarray(pallas_row_shift_cubic(
+            jnp.asarray(rows), jnp.asarray(src_rows), smax=smax,
+            interpret=True))
+        out = out.reshape(b, 3, h, w).transpose(0, 2, 3, 1)
+        diff = np.abs(out.astype(int) - ref.astype(int))
+        assert diff.max() <= 1, diff.max()
 
     def test_histogram_matches_bincount(self, rng):
         img = rng.integers(0, 256, (9, 16, 24), dtype=np.uint8)
