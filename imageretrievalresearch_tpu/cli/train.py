@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--neg_return_num", type=int, default=1)
     p.add_argument("--use_native_loader", action="store_true",
                    help="decode batches with the C++ loader (native/)")
+    p.add_argument("-c", "--cache", action="store_true",
+                   help="decode-once RAM cache at host size (the "
+                        "reference's inference cache flag, applied to "
+                        "training): on a decode-bound host this makes "
+                        "steady-state epochs device-bound")
     p.add_argument("--host_size", type=int, default=None,
                    help="host-side decode size (default: image_size). Set "
                         "to the source resolution (e.g. 256 for Sketchy) to "
@@ -127,6 +132,9 @@ def run(args: argparse.Namespace) -> None:
             kw["neg_return_num"] = args.neg_return_num
         if cfg.split_json:
             kw.update(trainval_json=cfg.split_json, trainval=split)
+        if args.cache and cfg.dataset == "sketchy":
+            kw.update(load_images=True,
+                      cache_size=args.host_size or cfg.image_size)
         return ds_cls(**kw)
 
     tr_ds = make_ds("train")

@@ -132,14 +132,20 @@ class SketchyImageDataset(SketchyDataset):
 
     def __init__(self, transform_dic: dict | None = None,
                  pos_return_num: int = 1, neg_return_num: int = 1,
-                 load_images: bool = False, seed: int = 0, **kwargs):
+                 load_images: bool = False, cache_size: int | None = None,
+                 seed: int = 0, **kwargs):
         super().__init__(**kwargs)
         self.load_images, self.transform_dic = load_images, transform_dic
         self.pos_return_num, self.neg_return_num = pos_return_num, neg_return_num
+        self.cache_size = cache_size
         self._rng = np.random.default_rng(seed)
         self._cache: dict[str, np.ndarray] = {}
         if self.load_images:
-            # eager decode cache (sketch_dataset.py:268-270)
+            # eager decode cache (sketch_dataset.py:268-270). With
+            # ``cache_size`` the cache stores bilinear-resized images so the
+            # per-sample hot path is a pure dict hit — on a decode-bound
+            # host (PERF.md: ~300 img/s on one core vs ~1.5k img/s device
+            # consumption) this turns steady-state epochs device-bound.
             for p in set(self.sketch_lst) | set(self.image_lst):
                 self._cache[p] = self._decode(p)
         if transform_dic:
@@ -151,6 +157,10 @@ class SketchyImageDataset(SketchyDataset):
         if path in self._cache:
             return self._cache[path]
         with Image.open(path) as im:
+            if (self.cache_size is not None
+                    and im.size != (self.cache_size, self.cache_size)):
+                im = im.convert("RGB").resize(
+                    (self.cache_size, self.cache_size), Image.BILINEAR)
             return np.asarray(im.convert("RGB"))
 
     def __getitem__(self, idx: int, rng: np.random.Generator | None = None) -> dict:

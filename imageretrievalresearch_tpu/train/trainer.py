@@ -109,6 +109,7 @@ class Trainer:
         self.tx = make_optimizer(cfg.optimizer_name, self.schedule,
                                  cfg.weight_decay)
 
+        eval_transform = transform
         if transform is None:
             spec = (TransformSpec.train_autoaugment(cfg.image_size)
                     if cfg.autoaugment
@@ -116,12 +117,31 @@ class Trainer:
             spec = TransformSpec(**{**spec.__dict__,
                                     "dtype": cfg.compute_dtype})
             transform = build_triplet_transform(spec, spec, spec)
+            # evaluation is deterministic: same pipeline minus the random
+            # AutoAugment stage (the reference reuses its train Compose for
+            # val, which randomly augments val images — we pin eval to the
+            # deterministic intent)
+            espec = TransformSpec(**{**spec.__dict__, "autoaugment": False})
+            eval_transform = build_triplet_transform(espec, espec, espec)
         self.transform = transform
+        self.eval_transform = eval_transform
 
-        self._train_step = jax.jit(
-            build_train_step(backbone, cfg, self.schedule),
-            donate_argnums=(0,))
-        self._eval_step = jax.jit(build_eval_step(backbone, cfg))
+        # fuse the batch transform into the train/eval dispatch: one jitted
+        # call per step instead of two halves the per-step host dispatch
+        # work, which competes with the loader thread for CPU on small
+        # hosts (PERF.md round-2 training notes)
+        base_train = build_train_step(backbone, cfg, self.schedule)
+        base_eval = build_eval_step(backbone, cfg)
+        tf, etf = self.transform, self.eval_transform
+
+        def fused_train(state, raw_batch, tkey, skey):
+            return base_train(state, tf(raw_batch, tkey), skey)
+
+        def fused_eval(state, raw_batch):
+            return base_eval(state, etf(raw_batch, None))
+
+        self._train_step = jax.jit(fused_train, donate_argnums=(0,))
+        self._eval_step = jax.jit(fused_eval)
 
     # --- state ---
 
@@ -143,9 +163,10 @@ class Trainer:
 
     # --- loops ---
 
-    def _prepare(self, batch: dict, key: jax.Array | None) -> dict:
-        batch = shard_batch(self.mesh, batch)
-        return self.transform(batch, key)
+    def _prepare(self, batch: dict) -> dict:
+        """Shard the raw uint8 host batch onto the mesh; the float
+        transform happens inside the fused step dispatch."""
+        return shard_batch(self.mesh, batch)
 
     def train_epoch(self, state: EmbedTrainState, epoch: int
                     ) -> tuple[EmbedTrainState, dict]:
@@ -159,9 +180,8 @@ class Trainer:
                 jax.profiler.start_trace(self.cfg.profile_dir)
                 profiling = True
             key, bkey, skey = jax.random.split(key, 3)
-            fbatch = self._prepare(batch, bkey if self.cfg.autoaugment
-                                   else None)
-            state, metrics = self._train_step(state, fbatch, skey)
+            state, metrics = self._train_step(state, self._prepare(batch),
+                                              bkey, skey)
             if profiling and i >= 3:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
@@ -182,8 +202,7 @@ class Trainer:
         loader = loader or self.val_loader
         agg: dict[str, list] = {}
         for batch in loader:
-            fbatch = self._prepare(batch, None)
-            metrics = self._eval_step(state, fbatch)
+            metrics = self._eval_step(state, self._prepare(batch))
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(v)   # stay on device
         agg = jax.device_get(agg)
@@ -215,6 +234,11 @@ class Trainer:
             epoch_metrics = dict(train_metrics)
             if self.val_loader is not None:
                 val_metrics = self.eval_epoch(state)
+                if not val_metrics:
+                    print("[trainer] WARNING: validation loader yielded no "
+                          "batches (val split smaller than batch size with "
+                          "drop_last?) — no val metrics, no checkpoints "
+                          "this epoch")
                 epoch_metrics.update(val_metrics)
                 self.logger.log(val_metrics, int(state.step), force=True)
                 if self.ckpt and cfg.monitor in epoch_metrics:

@@ -138,6 +138,13 @@ class TestImageDatasets:
         b = ds.__getitem__(3, rng=np.random.default_rng(5))
         assert a["paths"] == b["paths"]
 
+    def test_load_images_cache_size(self, sketchy_root):
+        ds = SketchyImageDataset(data_dir=sketchy_root, load_images=True,
+                                 cache_size=24)
+        item = ds.__getitem__(0, rng=np.random.default_rng(0))
+        assert item["qry"].shape == (24, 24, 3)
+        assert item["pos"][0].shape == (24, 24, 3)
+
     def test_load_images_cache(self, sketchy_root):
         ds = SketchyImageDataset(data_dir=sketchy_root, load_images=True)
         assert len(ds._cache) == len(set(ds.sketch_lst) | set(ds.image_lst))
