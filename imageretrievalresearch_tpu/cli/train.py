@@ -65,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--neg_return_num", type=int, default=1)
     p.add_argument("--use_native_loader", action="store_true",
                    help="decode batches with the C++ loader (native/)")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="multi-host: jax.distributed coordinator "
+                        "host:port (set with --num_processes/--process_id;"
+                        " on TPU pods the three can usually be omitted "
+                        "and auto-detected by passing --num_processes -1)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("-c", "--cache", action="store_true",
                    help="decode-once RAM cache at host size (the "
                         "reference's inference cache flag, applied to "
@@ -91,6 +98,24 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run(args: argparse.Namespace) -> None:
     # heavy imports deferred so --help is instant
+    if (args.coordinator_address or args.num_processes
+            or args.process_id is not None):
+        # multi-host DP: must run before any jax backend use (SURVEY.md §2
+        # "host data loading sharded per-process"); with all three None on
+        # a TPU pod jax auto-detects from the metadata server
+        import jax
+
+        kw = {}
+        if args.coordinator_address:
+            kw["coordinator_address"] = args.coordinator_address
+        if args.num_processes and args.num_processes > 0:
+            kw["num_processes"] = args.num_processes
+        if args.process_id is not None:
+            kw["process_id"] = args.process_id
+        jax.distributed.initialize(**kw)
+        print(f"[distributed] process {jax.process_index()} of "
+              f"{jax.process_count()}, {len(jax.local_devices())} local / "
+              f"{len(jax.devices())} global devices")
     from imageretrievalresearch_tpu.config import TrainConfig
     from imageretrievalresearch_tpu.data import (
         OriginalImageDataset,
@@ -146,14 +171,19 @@ def run(args: argparse.Namespace) -> None:
     print(f"\nTrain dataset has {num_classes} classes")
 
     host_size = args.host_size or cfg.image_size
+    import jax as _jax
+    proc_kw = dict(process_index=_jax.process_index(),
+                   process_count=_jax.process_count())
     train_loader = TripletLoader(tr_ds, cfg.batch_size, shuffle=True,
                                  drop_last=True, num_workers=cfg.num_workers,
                                  seed=cfg.seed, host_size=host_size,
-                                 use_native=args.use_native_loader)
+                                 use_native=args.use_native_loader,
+                                 **proc_kw)
     val_loader = (TripletLoader(val_ds, cfg.batch_size, shuffle=True,
                                 drop_last=True, num_workers=cfg.num_workers,
                                 seed=cfg.seed + 1, host_size=host_size,
-                                use_native=args.use_native_loader)
+                                use_native=args.use_native_loader,
+                                **proc_kw)
                   if val_ds else None)
 
     save_name = f"{cfg.model_name}_{cfg.optimizer_name}_{cfg.learning_rate}"

@@ -41,7 +41,19 @@ class TripletLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  drop_last: bool = True, num_workers: int = 8,
                  seed: int = 42, host_size: int | None = None,
-                 prefetch: int = 4, use_native: bool = False):
+                 prefetch: int = 4, use_native: bool = False,
+                 process_index: int = 0, process_count: int = 1):
+        """``batch_size`` is the GLOBAL batch size. In a multi-process run
+        (``jax.distributed``) pass ``jax.process_index()/process_count()``:
+        each process decodes only its contiguous ``batch_size /
+        process_count`` slice of every global batch (SURVEY.md §2 "host
+        data loading sharded per-process"), and the per-(epoch, idx) sample
+        RNG keeps the global batch composition identical to a
+        single-process run."""
+        assert batch_size % max(1, process_count) == 0, (
+            "global batch must divide the process count")
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -161,6 +173,13 @@ class TripletLoader:
         nb = len(self)
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(nb)]
+        if self.process_count > 1:
+            # contiguous per-process slice of each GLOBAL batch: process r
+            # owns rows [r*per, (r+1)*per), matching the row order
+            # jax.make_array_from_process_local_data assembles device-wise
+            per = self.batch_size // self.process_count
+            lo = self.process_index * per
+            batches = [b[lo:lo + per] for b in batches]
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

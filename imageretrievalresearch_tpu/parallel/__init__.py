@@ -11,9 +11,10 @@ from imageretrievalresearch_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
     replicate,
+    put_replicated,
     data_sharding,
 )
 from imageretrievalresearch_tpu.parallel.gallery import sharded_cosine_topk
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding",
-           "sharded_cosine_topk"]
+__all__ = ["make_mesh", "shard_batch", "replicate", "put_replicated",
+           "data_sharding", "sharded_cosine_topk"]

@@ -34,13 +34,32 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any, axis_name: str = "data") -> Any:
-    """Device-put a host batch pytree with leading-dim sharding."""
+    """Device-put a host batch pytree with leading-dim sharding.
+
+    Multi-process (``jax.distributed``): each process passes only its LOCAL
+    slice of the global batch (see TripletLoader process sharding); the
+    global array is assembled across processes without any data exchange.
+    """
 
     def put(x):
         x = np.asarray(x)
-        return jax.device_put(x, data_sharding(mesh, x.ndim, axis_name))
+        sharding = data_sharding(mesh, x.ndim, axis_name)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)
+
+
+def put_replicated(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a host pytree onto the mesh (multi-process safe: every
+    process must hold identical values, e.g. a same-seed init)."""
+    sharding = replicate(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
+    return jax.device_put(tree, sharding)
 
 
 def pad_to_multiple(batch: Any, multiple: int) -> tuple[Any, int]:

@@ -28,6 +28,7 @@ from imageretrievalresearch_tpu.ops.preprocess import (
 from imageretrievalresearch_tpu.parallel.mesh import (
     data_sharding,
     make_mesh,
+    put_replicated,
     replicate,
     shard_batch,
 )
@@ -75,6 +76,8 @@ class Trainer:
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.mesh = mesh or make_mesh(cfg.num_devices)
+        # multi-process runs: only process 0 writes logs/checkpoints
+        self._is_main = jax.process_index() == 0
         self.logger = logger or MetricLogger(
             cfg.checkpoint_dir, log_every_n_steps=cfg.log_every_n_steps)
         # without a val loader the monitored validation metric (cos_sims by
@@ -159,7 +162,8 @@ class Trainer:
             variables = self.backbone.init(rng, sample)
             state = EmbedTrainState.from_backbone(self.backbone, variables,
                                                   self.tx)
-        return jax.device_put(state, replicate(self.mesh))
+        # multi-process safe: every process runs the identical seeded init
+        return put_replicated(self.mesh, state)
 
     # --- loops ---
 
@@ -190,7 +194,8 @@ class Trainer:
             # the pipeline (and costs ~30ms/scalar over remote transports);
             # only steps on the logging cadence are materialized now
             if (i + 1) % self.cfg.log_every_n_steps == 0:
-                self.logger.log(metrics, int(state.step), force=True)
+                if self._is_main:
+                    self.logger.log(metrics, int(state.step), force=True)
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(v)
         if profiling:
@@ -220,7 +225,7 @@ class Trainer:
         if resume and self.ckpt and self.ckpt.latest_step() is not None:
             restored = self.ckpt.restore(jax.device_get(state),
                                          step=self.ckpt.latest_step())
-            state = jax.device_put(restored, replicate(self.mesh))
+            state = put_replicated(self.mesh, restored)
             steps_per_epoch = max(1, len(self.train_loader))
             start_epoch = int(state.step) // steps_per_epoch
             print(f"[trainer] resumed from step {int(state.step)} "
@@ -240,7 +245,10 @@ class Trainer:
                           "drop_last?) — no val metrics, no checkpoints "
                           "this epoch")
                 epoch_metrics.update(val_metrics)
-                self.logger.log(val_metrics, int(state.step), force=True)
+                if self._is_main:
+                    self.logger.log(val_metrics, int(state.step), force=True)
+                # orbax coordinates multihost saves itself — every process
+                # must participate or the save barrier deadlocks
                 if self.ckpt and cfg.monitor in epoch_metrics:
                     self.ckpt.save(int(state.step), jax.device_get(state),
                                    epoch_metrics)
