@@ -53,16 +53,13 @@ def bench_tpu_retrieval() -> float:
 
     def run():
         v, i = cosine_topk(queries, gallery, K, query_block=512)
-        jax.block_until_ready(v)
+        # force a result fetch: block_until_ready lies over this remote
+        # transport (CLAUDE.md) — a tiny fetch is the reliable fence
+        np.asarray(v[:1, :1])
         return v, i
 
-    # warm up: compile AND force the first real execution to finish on
-    # device (block_until_ready alone can return before the first run's
-    # input transfer + execution completes over a remote-device transport)
-    v, _ = run()
-    np.asarray(v[:1, :1])
-    v, _ = run()
-    np.asarray(v[:1, :1])
+    run()
+    run()
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -111,11 +108,11 @@ def bench_tpu_retrieval_approx() -> float:
     def run():
         v, i = cosine_topk(queries, gallery, K, query_block=2048,
                            method="approx", matmul_dtype="bfloat16")
-        jax.block_until_ready(v)
+        np.asarray(v[:1, :1])
         return v
 
-    np.asarray(run()[:1, :1])
-    np.asarray(run()[:1, :1])
+    run()
+    run()
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -143,19 +140,26 @@ def bench_embed_throughput(batch: int = 256) -> float:
         lambda s: jnp.full(s.shape, 0.01, s.dtype), var_shapes)
     x = jax.random.uniform(jax.random.key(2), (batch, 224, 224, 3),
                            dtype=jnp.bfloat16)
-    embed = jax.jit(lambda v, x: backbone.embed(v, x))
-    e = embed(variables, x)
-    np.asarray(e[:1, :1])
-    e = embed(variables, x)
-    np.asarray(e[:1, :1])
+    # dependency-chained loop: single-dispatch timing is floored by the
+    # ~28 ms remote-dispatch RTT on this transport (CLAUDE.md)
+    n_iter = 10
+
+    @jax.jit
+    def chain(v, x):
+        def body(i, x):
+            e = backbone.embed(v, x)
+            return x + (e[0, 0] * 0).astype(x.dtype)
+        return jax.lax.fori_loop(0, n_iter, body, x)
+
+    r = chain(variables, x)
+    np.asarray(r[:1, 0, 0, 0])
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        e = embed(variables, x)
-        import jax as _j
-        _j.block_until_ready(e)
+        r = chain(variables, x)
+        np.asarray(r[:1, 0, 0, 0])
         times.append(time.perf_counter() - t0)
-    return batch / min(times)
+    return batch * n_iter / min(times)
 
 
 def main() -> None:
