@@ -157,7 +157,7 @@ def run(args: argparse.Namespace) -> None:
             kw["neg_return_num"] = args.neg_return_num
         if cfg.split_json:
             kw.update(trainval_json=cfg.split_json, trainval=split)
-        if args.cache and cfg.dataset == "sketchy":
+        if args.cache:
             kw.update(load_images=True,
                       cache_size=args.host_size or cfg.image_size)
         return ds_cls(**kw)

@@ -20,6 +20,7 @@ import os
 import numpy as np
 from PIL import Image
 
+from imageretrievalresearch_tpu.data.decode import DecodeCacheMixin
 from imageretrievalresearch_tpu.data.index import TripletIndex, build_triplet_index
 
 
@@ -111,30 +112,22 @@ class OriginalDataset:
         }
 
 
-class OriginalImageDataset(OriginalDataset):
+class OriginalImageDataset(DecodeCacheMixin, OriginalDataset):
     """Image-level dataset (reference data/original_dataset.py:294-380)."""
 
     def __init__(self, transform_dic: dict | None = None,
                  pos_return_num: int = 1, neg_return_num: int = 1,
-                 load_images: bool = False, seed: int = 0, **kwargs):
+                 load_images: bool = False, cache_size: int | None = None,
+                 seed: int = 0, **kwargs):
         super().__init__(**kwargs)
-        self.load_images, self.transform_dic = load_images, transform_dic
+        self.transform_dic = transform_dic
         self.pos_return_num, self.neg_return_num = pos_return_num, neg_return_num
         self._rng = np.random.default_rng(seed)
-        self._cache: dict[str, np.ndarray] = {}
-        if self.load_images:
-            for p in set(self.sketch_lst) | set(self.image_lst):
-                self._cache[p] = self._decode(p)
+        self._init_decode_cache(load_images, cache_size)
         if transform_dic:
             self.qry_trans = transform_dic["qry"]
             self.pos_trans = transform_dic["pos"]
             self.neg_trans = transform_dic["neg"]
-
-    def _decode(self, path: str) -> np.ndarray:
-        if path in self._cache:
-            return self._cache[path]
-        with Image.open(path) as im:
-            return np.asarray(im.convert("RGB"))
 
     def __getitem__(self, idx: int, rng: np.random.Generator | None = None) -> dict:
         assert self.index is not None

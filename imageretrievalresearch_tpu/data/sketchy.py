@@ -21,6 +21,7 @@ import os
 import numpy as np
 from PIL import Image
 
+from imageretrievalresearch_tpu.data.decode import DecodeCacheMixin
 from imageretrievalresearch_tpu.data.index import TripletIndex, build_triplet_index
 
 
@@ -117,7 +118,7 @@ class SketchyDataset:
         }
 
 
-class SketchyImageDataset(SketchyDataset):
+class SketchyImageDataset(DecodeCacheMixin, SketchyDataset):
     """Image-level dataset (reference data/sketch_dataset.py:245-309).
 
     Differences from the reference, by design:
@@ -135,33 +136,16 @@ class SketchyImageDataset(SketchyDataset):
                  load_images: bool = False, cache_size: int | None = None,
                  seed: int = 0, **kwargs):
         super().__init__(**kwargs)
-        self.load_images, self.transform_dic = load_images, transform_dic
+        self.transform_dic = transform_dic
         self.pos_return_num, self.neg_return_num = pos_return_num, neg_return_num
-        self.cache_size = cache_size
         self._rng = np.random.default_rng(seed)
-        self._cache: dict[str, np.ndarray] = {}
-        if self.load_images:
-            # eager decode cache (sketch_dataset.py:268-270). With
-            # ``cache_size`` the cache stores bilinear-resized images so the
-            # per-sample hot path is a pure dict hit — on a decode-bound
-            # host (PERF.md: ~300 img/s on one core vs ~1.5k img/s device
-            # consumption) this turns steady-state epochs device-bound.
-            for p in set(self.sketch_lst) | set(self.image_lst):
-                self._cache[p] = self._decode(p)
+        # eager decode cache (sketch_dataset.py:268-270), optionally stored
+        # pre-resized (see data/decode.py)
+        self._init_decode_cache(load_images, cache_size)
         if transform_dic:
             self.qry_trans = transform_dic["qry"]
             self.pos_trans = transform_dic["pos"]
             self.neg_trans = transform_dic["neg"]
-
-    def _decode(self, path: str) -> np.ndarray:
-        if path in self._cache:
-            return self._cache[path]
-        with Image.open(path) as im:
-            if (self.cache_size is not None
-                    and im.size != (self.cache_size, self.cache_size)):
-                im = im.convert("RGB").resize(
-                    (self.cache_size, self.cache_size), Image.BILINEAR)
-            return np.asarray(im.convert("RGB"))
 
     def __getitem__(self, idx: int, rng: np.random.Generator | None = None) -> dict:
         assert self.index is not None, "image dataset requires random=True indexing"

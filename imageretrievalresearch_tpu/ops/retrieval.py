@@ -53,7 +53,8 @@ def chunked_topk(sims: jax.Array, k: int, *, chunk: int = 2048
     """
     b, g = sims.shape
     if g <= chunk or g <= k:
-        return jax.lax.top_k(sims, min(k, g))
+        vals, inds = jax.lax.top_k(sims, min(k, g))
+        return vals, inds
     n_chunks = -(-g // chunk)
     pad = n_chunks * chunk - g
     if pad:

@@ -15,14 +15,27 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from imageretrievalresearch_tpu.ops.retrieval import chunked_topk, l2_normalize
+from imageretrievalresearch_tpu.ops.retrieval import (
+    _fused_eligible,
+    chunked_topk,
+    fused_cosine_topk_pallas,
+    l2_normalize,
+)
 
 
 def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
-                        mesh: Mesh, *, axis_name: str = "data"
+                        mesh: Mesh, *, axis_name: str = "data",
+                        use_fused: bool | None = None,
+                        interpret: bool = False
                         ) -> tuple[jax.Array, jax.Array]:
     """(Q, D) × (G, D) -> global (vals, inds) with the gallery sharded on
-    ``axis_name``. Gallery rows must divide the mesh (pad upstream)."""
+    ``axis_name``. Gallery rows must divide the mesh (pad upstream).
+
+    On TPU, each device ranks its shard with the fused Pallas streaming
+    kernel (normalize + matmul + exact in-VMEM top-k, certificate +
+    per-shard lax.cond dense fallback); other backends use the dense
+    blocked path. ``use_fused`` overrides the auto choice.
+    """
     n_dev = mesh.shape[axis_name]
     g = gallery.shape[0]
     assert g % n_dev == 0, "pad gallery to a multiple of the mesh size"
@@ -32,11 +45,26 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
     # exact global top-k because each device contributes its full shard
     # ranking prefix — k > shard just means every shard row is a candidate)
     k = min(k, g)
+    k_local = min(k, shard)
+    q, d = queries.shape
+    fused = use_fused if use_fused is not None else (
+        (jax.default_backend() == "tpu" or interpret)
+        and _fused_eligible(q, shard, d, k_local, 512, 6))
 
     def local_rank(q_hat, g_local):
         # g_local: (shard, D) on each device
-        sims = q_hat @ l2_normalize(g_local).T
-        vals, inds = chunked_topk(sims, min(k, shard))
+        if fused:
+            vals, inds, ok = fused_cosine_topk_pallas(
+                q_hat, g_local, k_local, interpret=interpret)
+            vals, inds = jax.lax.cond(
+                jnp.all(ok == 1),
+                lambda _: (vals, inds),
+                lambda _: tuple(chunked_topk(
+                    q_hat @ l2_normalize(g_local).T, k_local)),
+                None)
+        else:
+            sims = q_hat @ l2_normalize(g_local).T
+            vals, inds = chunked_topk(sims, k_local)
         # localize -> globalize indices by shard offset
         offset = jax.lax.axis_index(axis_name) * shard
         return vals, inds + offset
@@ -44,7 +72,9 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P(), P(axis_name, None)),
-        out_specs=(P(axis_name), P(axis_name)))
+        out_specs=(P(axis_name), P(axis_name)),
+        # pallas_call outputs don't carry varying-mesh-axis metadata yet
+        check_vma=False)
     def ranked(q_hat, g_shard):
         vals, inds = local_rank(q_hat, g_shard)
         return vals[None], inds[None]     # leading device axis for gather

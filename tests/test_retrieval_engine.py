@@ -139,6 +139,19 @@ class TestShardedGallery:
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_fused_local_ranking_matches_dense(self, rng):
+        # the TPU per-shard fused kernel path, run in interpret mode under
+        # shard_map on the virtual mesh
+        mesh = make_mesh()
+        q = rng.normal(size=(12, 32)).astype(np.float32)
+        g = rng.normal(size=(8 * 2048, 32)).astype(np.float32)
+        v1, i1 = sharded_cosine_topk(jnp.asarray(q), jnp.asarray(g), 20,
+                                     mesh, use_fused=True, interpret=True)
+        v2, i2 = cosine_topk(q, g, 20, method="dense")
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_k_larger_than_gallery_clamps(self, rng):
         mesh = make_mesh()
         q = rng.normal(size=(3, 16)).astype(np.float32)
