@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                         " set for ragged-size sources)")
     p.add_argument("--viz_dir", type=str, default=None,
                    help="write retrieval visualization grids here")
+    p.add_argument("--save_gallery", type=str, default=None,
+                   help="persist the embedded sketch gallery as a "
+                        "GalleryIndex .npz (serving artifact: load with "
+                        "retrieval.GalleryIndex.load and query without "
+                        "re-embedding)")
     return p
 
 
@@ -119,6 +124,16 @@ def run(args: argparse.Namespace) -> None:
 
     keep = args.viz_dir is not None
     embeds = engine.embed_triplet_loader(dl, keep_images=keep)
+    if args.save_gallery:
+        from imageretrievalresearch_tpu.retrieval import GalleryIndex
+        gal = GalleryIndex(embeds["fms_poss_all"].shape[1],
+                           meta={"model": args.model_name,
+                                 "checkpoint": args.checkpoint_path,
+                                 "transform": args.transform,
+                                 "input_size": args.input_size})
+        gal.add(embeds["fms_poss_all"], embeds["classes_all"])
+        gal.save(args.save_gallery)
+        print(f"Saved {len(gal)}-item gallery index to {args.save_gallery}")
     if args.topk_variant == "index_match":
         results = engine.evaluate_index_match(embeds)
         print(f"\nTest loss: {results['loss']:.3f}")

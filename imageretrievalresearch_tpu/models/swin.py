@@ -257,5 +257,5 @@ SWIN_CONFIGS = {
         window_sizes=(14, 14, 14, 7)),
     "swin_s3_base_224": dict(
         embed_dim=96, depths=(2, 2, 30, 2), num_heads=(3, 6, 12, 24),
-        window_sizes=(7, 7, 14, 7)),
+        window_sizes=(7, 14, 14, 7)),
 }

@@ -139,7 +139,7 @@ def _synth_state_dict(bb, variables, rng):
 class TestSwinS3BaseFullSize:
     def test_strict_convert_and_forward(self, rng):
         """swin_s3_base_224 at published size: embed 96, depths (2,2,30,2),
-        per-stage windows (7,7,14,7). The state dict is synthesized from
+        per-stage windows (7,14,14,7). The state dict is synthesized from
         the key map (no timm in-image), plus the non-parameter buffers a
         real checkpoint carries, which the converter must filter."""
         bb = create_model("swin_s3_base_224", num_classes=125)

@@ -1,0 +1,131 @@
+"""GalleryIndex: incremental build, save/load round-trip, query parity with
+the brute-force reference ranking, class dedup, and sharded querying."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from imageretrievalresearch_tpu.ops.retrieval import l2_normalize
+from imageretrievalresearch_tpu.parallel import make_mesh
+from imageretrievalresearch_tpu.retrieval import GalleryIndex
+
+
+def _brute_topk(q, g, k):
+    """Reference ranking: normalized cosine + argsort (stable, largest
+    first), the semantics of training_analysis.ipynb cell 2 topk."""
+    sims = np.asarray(l2_normalize(jnp.asarray(q))) @ np.asarray(
+        l2_normalize(jnp.asarray(g))).T
+    inds = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(sims, inds, axis=1)
+    return vals, inds
+
+
+@pytest.fixture()
+def data():
+    rng = np.random.default_rng(0)
+    g = rng.normal(size=(257, 32)).astype(np.float32)
+    c = rng.integers(0, 7, 257).astype(np.int32)
+    q = rng.normal(size=(9, 32)).astype(np.float32)
+    return q, g, c
+
+
+class TestBuild:
+    def test_incremental_add_equals_bulk(self, data):
+        q, g, c = data
+        bulk = GalleryIndex(32).add(g, c)
+        inc = GalleryIndex(32)
+        inc.add(g[:100], c[:100]).add(g[100:], c[100:])
+        assert len(bulk) == len(inc) == 257
+        np.testing.assert_allclose(bulk.embeddings, inc.embeddings)
+        np.testing.assert_array_equal(bulk.classes, inc.classes)
+
+    def test_shape_and_label_validation(self):
+        idx = GalleryIndex(16)
+        with pytest.raises(ValueError):
+            idx.add(np.zeros((4, 8), np.float32), np.zeros(4))
+        with pytest.raises(ValueError):
+            idx.add(np.zeros((4, 16), np.float32), np.zeros(3))
+        with pytest.raises(ValueError):
+            idx.add(np.zeros((4, 16), np.float32), np.zeros(4),
+                    paths=["a"])
+        with pytest.raises(ValueError):
+            idx.query(np.zeros((1, 16)))  # empty gallery
+
+    def test_embeddings_are_normalized(self, data):
+        _, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        norms = np.linalg.norm(idx.embeddings, axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+class TestQuery:
+    def test_matches_bruteforce(self, data):
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        vals, inds, cls = idx.query(q, k=10)
+        ref_vals, ref_inds = _brute_topk(q, g, 10)
+        np.testing.assert_array_equal(inds, ref_inds)
+        np.testing.assert_allclose(vals, ref_vals, atol=1e-5)
+        np.testing.assert_array_equal(cls, c[ref_inds])
+
+    def test_k_clamped_to_gallery(self, data):
+        q, g, c = data
+        idx = GalleryIndex(32).add(g[:5], c[:5])
+        vals, inds, cls = idx.query(q, k=150)
+        assert vals.shape == inds.shape == cls.shape == (9, 5)
+
+    def test_class_dedup_matches_notebook_loop(self, data):
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        uniq_inds, uniq_vals, uniq_cls = idx.query_class_dedup(
+            q, k=50, num_unique=3)
+        _, ref_inds = _brute_topk(q, g, 50)
+        for qi in range(q.shape[0]):
+            seen, want = [], []
+            for gi in ref_inds[qi]:
+                if c[gi] not in seen:
+                    seen.append(c[gi])
+                    want.append(gi)
+                if len(seen) == 3:
+                    break
+            np.testing.assert_array_equal(uniq_inds[qi], want)
+            np.testing.assert_array_equal(uniq_cls[qi], c[want])
+
+    def test_sharded_query_matches_single(self, data):
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        mesh = make_mesh(8)
+        vals, inds, cls = idx.query(q, k=10, mesh=mesh)
+        ref_vals, ref_inds = _brute_topk(q, g, 10)
+        np.testing.assert_array_equal(inds, ref_inds)
+        np.testing.assert_allclose(vals, ref_vals, atol=1e-5)
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, data, tmp_path):
+        q, g, c = data
+        paths = [f"item_{i}.png" for i in range(len(g))]
+        idx = GalleryIndex(32, meta={"model": "efficientnet_b3a"})
+        idx.add(g, c, paths=paths)
+        f = tmp_path / "gallery.npz"
+        idx.save(f)
+        idx2 = GalleryIndex.load(f)
+        assert len(idx2) == len(idx)
+        assert idx2.dim == 32
+        assert idx2.meta == {"model": "efficientnet_b3a"}
+        assert idx2.paths == paths
+        np.testing.assert_allclose(idx2.embeddings, idx.embeddings)
+        v1, i1, c1 = idx.query(q, k=7)
+        v2, i2, c2 = idx2.query(q, k=7)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2)
+
+    def test_load_then_extend(self, data, tmp_path):
+        q, g, c = data
+        idx = GalleryIndex(32).add(g[:200], c[:200])
+        f = tmp_path / "g.npz"
+        idx.save(f)
+        idx2 = GalleryIndex.load(f).add(g[200:], c[200:])
+        ref_vals, ref_inds = _brute_topk(q, g, 5)
+        _, inds, _ = idx2.query(q, k=5)
+        np.testing.assert_array_equal(inds, ref_inds)
