@@ -161,11 +161,21 @@ class GalleryIndex:
             n_dev = mesh.shape["data"]
             pad = (-len(self)) % n_dev
             if pad:
+                # zero pad rows score cosine 0, which can outrank real rows
+                # with negative similarity — over-query by the pad count,
+                # then drop pad indices: the global top-(k+pad) contains at
+                # least k real rows
                 g = jnp.pad(g, ((0, pad), (0, 0)))
-            vals, inds = sharded_cosine_topk(q, g, k, mesh,
+            kk = min(k + pad, g.shape[0])
+            vals, inds = sharded_cosine_topk(q, g, kk, mesh,
                                              interpret=interpret)
-            # padded rows are zero vectors -> cosine 0; they can only
-            # appear when k exceeds the real gallery, which min() rules out
+            if pad:
+                vals = jnp.where(inds < len(self), vals, -jnp.inf)
+                order = jnp.argsort(-vals, axis=1, stable=True)[:, :k]
+                vals = jnp.take_along_axis(vals, order, axis=1)
+                inds = jnp.take_along_axis(inds, order, axis=1)
+            else:
+                vals, inds = vals[:, :k], inds[:, :k]
         else:
             vals, inds = cosine_topk(q, g, k, method=method,
                                      interpret=interpret)

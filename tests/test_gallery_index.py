@@ -91,6 +91,25 @@ class TestQuery:
             np.testing.assert_array_equal(uniq_inds[qi], want)
             np.testing.assert_array_equal(uniq_cls[qi], c[want])
 
+    def test_sharded_query_negative_sims_excludes_pad_rows(self):
+        """Regression: the gallery is zero-padded to a mesh multiple and a
+        zero row scores cosine 0 — with all-negative true similarities the
+        pads would outrank every real row and leak out-of-range indices."""
+        rng = np.random.default_rng(3)
+        u = rng.normal(size=(1, 16)).astype(np.float32)
+        q = (u + 0.01 * rng.normal(size=(4, 16))).astype(np.float32)
+        # gallery ~ -u: every true cosine is negative for every query
+        g = (-u + 0.01 * rng.normal(size=(9, 16))).astype(np.float32)
+        c = np.arange(9, dtype=np.int32)
+        idx = GalleryIndex(16).add(g, c)
+        mesh = make_mesh(8)          # pad = 7 zero rows
+        vals, inds, cls = idx.query(q, k=3, mesh=mesh)
+        assert inds.max() < 9, "padded rows leaked into the results"
+        assert (vals < 0).all()
+        ref_vals, ref_inds = _brute_topk(q, g, 3)
+        np.testing.assert_array_equal(inds, ref_inds)
+        np.testing.assert_allclose(vals, ref_vals, atol=1e-5)
+
     def test_sharded_query_matches_single(self, data):
         q, g, c = data
         idx = GalleryIndex(32).add(g, c)
