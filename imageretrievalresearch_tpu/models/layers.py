@@ -38,6 +38,31 @@ def torch_pad(kernel_size: int) -> tuple[tuple[int, int], tuple[int, int]]:
     return ((p, p), (p, p))
 
 
+class _PallasDWConv(nn.Module):
+    """Depthwise conv routed through ``ops.pallas_conv.depthwise_conv2d``.
+
+    Drop-in for ``nn.Conv(C, (K, K), feature_group_count=C, use_bias=False)``
+    with the identical param tree (``kernel`` of HWIO shape (K, K, 1, C)), so
+    torch->Flax converted checkpoints load unchanged. By default this
+    computes the same XLA grouped conv the nn.Conv path would — the Pallas
+    kernel measured slower in-graph and is opt-in via IRT_FORCE_PALLAS_DW
+    (see ops/pallas_conv.py for the measured verdict).
+    """
+
+    kernel_size: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from imageretrievalresearch_tpu.ops.pallas_conv import depthwise_conv2d
+        k, c = self.kernel_size, x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, 1, c), jnp.float32)
+        return depthwise_conv2d(x.astype(self.dtype), w.astype(self.dtype),
+                                stride=self.stride)
+
+
 class ConvBnAct(nn.Module):
     """Conv2d + BatchNorm + optional activation, torch-parity arithmetic."""
 
@@ -50,10 +75,18 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.out_chs, (self.kernel_size, self.kernel_size),
-                    strides=self.stride, padding=torch_pad(self.kernel_size),
-                    feature_group_count=self.groups, use_bias=False,
-                    dtype=self.dtype, name="conv")(x)
+        depthwise = (self.groups > 1 and self.groups == x.shape[-1]
+                     and self.out_chs == x.shape[-1]
+                     and self.kernel_size % 2 == 1 and self.kernel_size > 1)
+        if depthwise:
+            x = _PallasDWConv(self.kernel_size, self.stride,
+                              dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(self.out_chs, (self.kernel_size, self.kernel_size),
+                        strides=self.stride,
+                        padding=torch_pad(self.kernel_size),
+                        feature_group_count=self.groups, use_bias=False,
+                        dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         if self.act is not None:
