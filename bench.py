@@ -44,7 +44,7 @@ def _device_embeddings():
     return queries, gallery
 
 
-def bench_tpu_retrieval() -> float:
+def bench_tpu_retrieval(matmul_dtype: str = "float32") -> float:
     import jax
 
     from imageretrievalresearch_tpu.ops.retrieval import cosine_topk
@@ -52,7 +52,8 @@ def bench_tpu_retrieval() -> float:
     queries, gallery = _device_embeddings()
 
     def run():
-        v, i = cosine_topk(queries, gallery, K, query_block=512)
+        v, i = cosine_topk(queries, gallery, K, query_block=512,
+                           matmul_dtype=matmul_dtype)
         # force a result fetch: block_until_ready lies over this remote
         # transport (CLAUDE.md) — a tiny fetch is the reliable fence
         np.asarray(v[:1, :1])
@@ -165,6 +166,7 @@ def bench_embed_throughput(batch: int = 256) -> float:
 def main() -> None:
     ref_qps = bench_reference_cpu()
     qps = bench_tpu_retrieval()
+    bf16_qps = bench_tpu_retrieval(matmul_dtype="bfloat16")
     approx_qps = bench_tpu_retrieval_approx()
     try:
         embed_ips = bench_embed_throughput()
@@ -175,6 +177,7 @@ def main() -> None:
         "value": round(qps, 2),
         "unit": "queries/sec",
         "vs_baseline": round(qps / ref_qps, 2),
+        "exact_bf16_qps": round(bf16_qps, 2),
         "approx_path_qps": round(approx_qps, 2),
         "embed_b3a_img_per_sec": round(embed_ips, 1),
         "reference_cpu_qps": round(ref_qps, 4),

@@ -153,46 +153,40 @@ def pallas_cosine_scores(queries_hat: jax.Array, gallery: jax.Array,
 # ``topk(cos(fm, fms_poss_all), k=150)``.
 
 
-def _fused_topk_kernel(q_ref, g_ref, gnorm_ref, vals_out, inds_out, ok_out,
-                       bufv_ref, bufi_ref, *, k: int, t_depth: int,
-                       g_real: int):
-    j = pl.program_id(1)
-    nj = pl.num_programs(1)
-    qt = q_ref.shape[0]
-    gt = g_ref.shape[0]
+def _stream_topk_update(s, j, nj, vals_out, inds_out, ok_out,
+                        bufv_ref, bufi_ref, *, k: int, t_depth: int,
+                        g_real: int):
+    """Shared streaming-top-k state machine: fold one (QT, F*BINS) score
+    tile into the per-bin buffers (F sub-tiles of BINS lanes each — wider
+    tiles amortize the per-grid-step overhead that dominates this kernel);
+    extract + certify on the last tile. BINS is the buffer lane width."""
+    qt, st = s.shape
+    bins = bufv_ref.shape[1] // t_depth
+    fold = st // bins
 
-    @pl.when(j == 0)
-    def _init():
-        bufv_ref[:] = jnp.full_like(bufv_ref, -jnp.inf)
-        bufi_ref[:] = jnp.zeros_like(bufi_ref)
+    for f in range(fold):
+        sub = s[:, f * bins:(f + 1) * bins]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (qt, bins), 1)
+        idx = j * st + f * bins + lane
+        sub = jnp.where(idx < g_real, sub, -jnp.inf)        # mask padding
 
-    # normalize the gallery tile BEFORE the matmul — the same arithmetic
-    # order as the dense path (l2_normalize(gallery) then dot), so scores
-    # agree bitwise and near-tie rankings match lax.top_k exactly
-    g_hat = g_ref[:].astype(jnp.float32) / jnp.maximum(
-        gnorm_ref[:], COSINE_SIM_EPS)                       # (GT, D)/(GT, 1)
-    s = jax.lax.dot_general(
-        q_ref[:].astype(jnp.float32), g_hat,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (qt, gt), 1)
-    idx = j * gt + lane
-    s = jnp.where(idx < g_real, s, -jnp.inf)                # mask padding
+        # insertion chain: new value sinks below equal/greater stored
+        # values, so ties keep the earlier (lower global index) entry on
+        # top. The (QT, t_depth * BINS) buffers hold depth t in lane block
+        # t (all shapes strictly 2-D: Mosaic layout inference rejects
+        # 1-D/3-D forms).
+        cur_v, cur_i = sub, idx
+        for t in range(t_depth):
+            sl = slice(t * bins, (t + 1) * bins)
+            old_v = bufv_ref[:, sl]
+            old_i = bufi_ref[:, sl]
+            take = cur_v > old_v
+            bufv_ref[:, sl] = jnp.where(take, cur_v, old_v)
+            bufi_ref[:, sl] = jnp.where(take, cur_i, old_i)
+            cur_v = jnp.where(take, old_v, cur_v)
+            cur_i = jnp.where(take, old_i, cur_i)
 
-    # insertion chain: new value sinks below equal/greater stored values,
-    # so ties keep the earlier (lower global index) entry on top.
-    # The (QT, t_depth * GT) buffers hold depth t in lane block t (all
-    # shapes strictly 2-D: Mosaic layout inference rejects 1-D/3-D forms).
-    cur_v, cur_i = s, idx
-    for t in range(t_depth):
-        sl = slice(t * gt, (t + 1) * gt)
-        old_v = bufv_ref[:, sl]
-        old_i = bufi_ref[:, sl]
-        take = cur_v > old_v
-        bufv_ref[:, sl] = jnp.where(take, cur_v, old_v)
-        bufi_ref[:, sl] = jnp.where(take, cur_i, old_i)
-        cur_v = jnp.where(take, old_v, cur_v)
-        cur_i = jnp.where(take, old_i, cur_i)
+    gt = bins  # buffer/epilogue lane width
 
     @pl.when(j == nj - 1)
     def _epilogue():
@@ -204,6 +198,9 @@ def _fused_topk_kernel(q_ref, g_ref, gnorm_ref, vals_out, inds_out, ok_out,
         kiota = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
 
         def extract(n, thr):
+            # single full-width pass per rank: a slice-per-depth variant
+            # (smaller stack temps) measured ~10 ms SLOWER end-to-end —
+            # the k max+mask passes are this kernel's hottest loop
             bv = bufv_ref[:]
             bi = bufi_ref[:]
             m = jnp.max(bv, axis=1, keepdims=True)             # (QT, 1)
@@ -223,10 +220,60 @@ def _fused_topk_kernel(q_ref, g_ref, gnorm_ref, vals_out, inds_out, ok_out,
         ok_out[:] = (tth < thr).astype(jnp.int32)
 
 
+def _fused_topk_kernel(q_ref, g_ref, gnorm_ref, vals_out, inds_out, ok_out,
+                       bufv_ref, bufi_ref, *, k: int, t_depth: int,
+                       g_real: int):
+    """f32 variant: raw gallery tiles + norms stream in; normalize the tile
+    BEFORE the matmul — the same arithmetic order as the dense path
+    (l2_normalize(gallery) then dot), so scores agree bitwise and near-tie
+    rankings match lax.top_k exactly."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        bufv_ref[:] = jnp.full_like(bufv_ref, -jnp.inf)
+        bufi_ref[:] = jnp.zeros_like(bufi_ref)
+
+    g_hat = g_ref[:].astype(jnp.float32) / jnp.maximum(
+        gnorm_ref[:], COSINE_SIM_EPS)                       # (GT, D)/(GT, 1)
+    s = jax.lax.dot_general(
+        q_ref[:].astype(jnp.float32), g_hat,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    _stream_topk_update(s, j, pl.num_programs(1), vals_out, inds_out, ok_out,
+                        bufv_ref, bufi_ref, k=k, t_depth=t_depth,
+                        g_real=g_real)
+
+
+def _fused_topk_kernel_bf16(q_ref, g_ref, vals_out, inds_out, ok_out,
+                            bufv_ref, bufi_ref, *, k: int, t_depth: int,
+                            g_real: int):
+    """bf16 variant: the gallery is pre-normalized-and-cast OUTSIDE the
+    kernel (one fused XLA pass), so tiles stream at half the HBM bytes and
+    there is no norm input; the matmul is a single bf16 MXU pass with f32
+    accumulation — the same arithmetic as the dense
+    ``matmul_dtype='bfloat16'`` path, so the lax.cond fallback ranks
+    identically."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        bufv_ref[:] = jnp.full_like(bufv_ref, -jnp.inf)
+        bufi_ref[:] = jnp.zeros_like(bufi_ref)
+
+    s = jax.lax.dot_general(
+        q_ref[:], g_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    _stream_topk_update(s, j, pl.num_programs(1), vals_out, inds_out, ok_out,
+                        bufv_ref, bufi_ref, k=k, t_depth=t_depth,
+                        g_real=g_real)
+
+
 def fused_cosine_topk_pallas(
         queries_hat: jax.Array, gallery: jax.Array, k: int,
         *, q_tile: int = 256, g_tile: int = 512, t_depth: int = 6,
-        interpret: bool = False
+        matmul_dtype: str = "float32", interpret: bool = False
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(Q, D) normalized queries x (G, D) raw gallery -> exact top-k
     ``(vals, inds, ok)`` with per-row exactness certificate ``ok``.
@@ -234,29 +281,30 @@ def fused_cosine_topk_pallas(
     Rows with ``ok == 0`` (a bin overflowed its T-deep buffer, or a value
     tie straddles the k-th position) must be re-ranked by a dense method —
     see :func:`cosine_topk`, which wraps this with a lax.cond fallback.
+
+    ``matmul_dtype='bfloat16'``: the gallery is L2-normalized and cast to
+    bf16 in one fused XLA pass, then streamed at half the HBM bytes; the
+    score matmul is a single bf16 MXU pass with f32 accumulation (an f32
+    matmul costs ~3 bf16 passes on v5e). The top-k is still exact *for the
+    bf16-rounded scores*; ranking differs from f32 only on near-ties
+    within bf16 input rounding (~1e-2 relative on unit vectors).
     """
     q, d = queries_hat.shape
     g = gallery.shape[0]
     assert k <= t_depth * g_tile, (k, t_depth, g_tile)
-    qp, gp = _round_up(q, q_tile), _round_up(g, g_tile)
+    bf16 = matmul_dtype == "bfloat16"
+    # The kernel supports folding F gallery tiles per grid step (bin width
+    # stays g_tile). Measured on chip: fold=2 for bf16 needed the slow
+    # slice-wise epilogue to fit VMEM and netted ~3 ms back on a ~10 ms
+    # regression, so fold stays 1 — the runtime is dominated by the
+    # insertion chain + k-pass extraction, not grid-step overhead.
+    fold = 1
+    g_block = fold * g_tile
+    qp, gp = _round_up(q, q_tile), _round_up(g, g_block)
     qh = jnp.pad(queries_hat.astype(jnp.float32), ((0, qp - q), (0, 0)))
-    gh = jnp.pad(gallery.astype(jnp.float32), ((0, gp - g), (0, 0)))
-    gnorm = jnp.linalg.norm(gh, axis=1)[:, None]             # (GP, 1)
 
-    grid = (qp // q_tile, gp // g_tile)
-    kernel = functools.partial(_fused_topk_kernel, k=k, t_depth=t_depth,
-                               g_real=g)
-    vals, inds, ok = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((q_tile, d), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_tile, d), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g_tile, 1), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+    grid = (qp // q_tile, gp // g_block)
+    common = dict(
         out_specs=(
             pl.BlockSpec((q_tile, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -274,12 +322,49 @@ def fused_cosine_topk_pallas(
             pltpu.VMEM((q_tile, t_depth * g_tile), jnp.float32),
             pltpu.VMEM((q_tile, t_depth * g_tile), jnp.int32),
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * qp * gp * d,
-            bytes_accessed=(qp * d + gp * d + gp + qp * 2 * k) * 4,
-            transcendentals=0),
         interpret=interpret,
-    )(qh, gh, gnorm)
+    )
+    if bf16:
+        g_hat = jnp.pad(l2_normalize(gallery), ((0, gp - g), (0, 0)))
+        kernel = functools.partial(_fused_topk_kernel_bf16, k=k,
+                                   t_depth=t_depth, g_real=g)
+        vals, inds, ok = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((q_tile, d), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_block, d), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * qp * gp * d,
+                bytes_accessed=qp * d * 2 + gp * d * 2 + qp * 2 * k * 4,
+                transcendentals=0),
+            **common,
+        )(qh.astype(jnp.bfloat16), g_hat.astype(jnp.bfloat16))
+    else:
+        gh = jnp.pad(gallery.astype(jnp.float32), ((0, gp - g), (0, 0)))
+        gnorm = jnp.linalg.norm(gh, axis=1)[:, None]         # (GP, 1)
+        kernel = functools.partial(_fused_topk_kernel, k=k, t_depth=t_depth,
+                                   g_real=g)
+        vals, inds, ok = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((q_tile, d), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_tile, d), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_tile, 1), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * qp * gp * d,
+                bytes_accessed=(qp * d + gp * d + gp + qp * 2 * k) * 4,
+                transcendentals=0),
+            **common,
+        )(qh, gh, gnorm)
     return vals[:q], inds[:q], ok[:q, 0]
 
 
@@ -321,9 +406,14 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
       recall ~0.95) for serving-scale galleries.
     - ``use_pallas``: score the dense path via the Pallas normalize+matmul
       scores kernel.
-    - ``matmul_dtype='bfloat16'`` runs the dense score matmul at 2x f32
-      MXU rate with f32 accumulation (near-tie ranking may differ; default
-      stays f32 for parity).
+    - ``matmul_dtype='bfloat16'`` runs the score matmul as one bf16 MXU
+      pass with f32 accumulation (~3x the f32 matmul rate; f32 matmuls
+      decompose into multiple bf16 passes on the MXU). Ranking is exact for
+      the bf16-rounded scores; near-tie order vs f32 may differ within the
+      input rounding (~1e-2 on unit vectors). Applies to the fused kernel
+      and the dense path alike — the recommended serving mode (higher
+      fidelity than ``method='approx'`` at comparable speed). Default
+      stays f32 for reference parity.
     """
     q, d = queries.shape
     g = gallery.shape[0]
@@ -333,7 +423,8 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
     fused = method == "fused" or (
         method == "exact"
         and (jax.default_backend() == "tpu" or interpret)
-        and not use_pallas and matmul_dtype == "float32"
+        and not use_pallas
+        and matmul_dtype in ("float32", "bfloat16")
         and _fused_eligible(q, g, d, k, 512, 6))
 
     def dense_rank(q_hat):
@@ -373,6 +464,7 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
         return dense_rank(q_hat)
 
     vals, inds, ok = fused_cosine_topk_pallas(q_hat, gallery, k,
+                                              matmul_dtype=matmul_dtype,
                                               interpret=interpret)
     return jax.lax.cond(jnp.all(ok == 1),
                         lambda _: (vals, inds),

@@ -139,15 +139,18 @@ class GalleryIndex:
         return self._device_gallery
 
     def query(self, queries, k: int = 150, *, method: str = "exact",
-              mesh=None, interpret: bool = False
+              matmul_dtype: str = "float32", mesh=None,
+              interpret: bool = False
               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Rank the gallery for (Q, dim) query embeddings.
 
         Returns ``(vals, inds, classes)`` each (Q, k). ``method`` follows
         :func:`cosine_topk` ('exact' routes through the fused Pallas kernel
-        on TPU, 'approx' is the recall~0.95 serving path). With ``mesh``,
-        the gallery is sharded over the mesh's 'data' axis and ranked
-        per-shard with an all-gather merge (exact).
+        on TPU, 'approx' is the recall~0.95 serving path);
+        ``matmul_dtype='bfloat16'`` is the recommended serving mode (exact
+        top-k of single-pass bf16 MXU scores, ~f32 ranking up to near-ties).
+        With ``mesh``, the gallery is sharded over the mesh's 'data' axis
+        and ranked per-shard with an all-gather merge (exact).
         """
         if not len(self):
             raise ValueError("empty gallery")
@@ -178,6 +181,7 @@ class GalleryIndex:
                 vals, inds = vals[:, :k], inds[:, :k]
         else:
             vals, inds = cosine_topk(q, g, k, method=method,
+                                     matmul_dtype=matmul_dtype,
                                      interpret=interpret)
         vals, inds = np.asarray(vals), np.asarray(inds)
         return vals, inds, self.classes[inds]

@@ -184,6 +184,42 @@ class TestFusedTopk:
             l2_normalize(jnp.asarray(q)) @ l2_normalize(jnp.asarray(g)).T, 5)
         np.testing.assert_array_equal(np.asarray(wi), np.asarray(ri))
 
+    def test_bf16_fused_matches_bf16_dense_exactly(self, rng):
+        """matmul_dtype='bfloat16' must rank identically to the dense bf16
+        path (the lax.cond fallback contract): same normalize-then-cast
+        arithmetic in both, integer data so accumulation order is exact."""
+        q, g = self._int_qg(rng, q=24, g=2100)
+        qh = l2_normalize(jnp.asarray(q))
+        gj = jnp.asarray(g)
+        v, i, ok = fused_cosine_topk_pallas(qh, gj, 150,
+                                            matmul_dtype="bfloat16",
+                                            interpret=True)
+        dense = jax.lax.dot_general(
+            qh.astype(jnp.bfloat16), l2_normalize(gj).astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        rv, ri = jax.lax.top_k(dense, 150)
+        ok = np.asarray(ok)
+        assert ok.any()
+        for r in np.nonzero(ok)[0]:
+            np.testing.assert_array_equal(np.asarray(i)[r], np.asarray(ri)[r])
+            np.testing.assert_array_equal(np.asarray(v)[r], np.asarray(rv)[r])
+        # the public wrapper with bf16 is exact for the bf16 scores too
+        wv, wi = cosine_topk(jnp.asarray(q), gj, 150, method="fused",
+                             matmul_dtype="bfloat16", interpret=True)
+        np.testing.assert_array_equal(np.asarray(wi), np.asarray(ri))
+
+    def test_bf16_fused_close_to_f32_ranking(self, rng):
+        """On float data, bf16 scores track f32 within input rounding: the
+        retrieved top-1 must agree and values stay within ~1e-2."""
+        q, g = _qg(rng, q=16, g=2100, d=64)
+        vb, ib = cosine_topk(q, g, 10, method="fused",
+                             matmul_dtype="bfloat16", interpret=True)
+        vf, if_ = cosine_topk(q, g, 10, method="fused", interpret=True)
+        assert (np.asarray(ib)[:, 0] == np.asarray(if_)[:, 0]).mean() > 0.9
+        np.testing.assert_allclose(np.asarray(vb), np.asarray(vf),
+                                   rtol=0, atol=2e-2)
+
     def test_exact_dispatch_stays_dense_on_cpu(self, rng):
         # method='exact' without interpret must not pick the Pallas path on
         # a CPU backend (compile-time dispatch)
