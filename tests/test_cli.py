@@ -4,6 +4,7 @@ synthetic Sketchy tree, exercising the user-facing argparse surfaces."""
 import json
 import os
 
+import numpy as np
 import pytest
 
 from imageretrievalresearch_tpu.data.synthetic import make_sketchy_tree
@@ -108,3 +109,63 @@ class TestInferenceCLI:
         run(args)
         import glob
         assert glob.glob(str(tmp_path / "viz" / "*.png"))
+
+
+class TestGalleryCLI:
+    def test_build_info_query_roundtrip(self, tree, tmp_path, capsys):
+        """Serving flow: inference --save_gallery -> gallery info ->
+        gallery query on photo files from the same tree."""
+        import glob
+        import json
+
+        from imageretrievalresearch_tpu.cli.gallery import (
+            build_parser,
+            run,
+        )
+        from imageretrievalresearch_tpu.cli.inference import (
+            build_parser as inf_parser,
+            run as inf_run,
+        )
+
+        npz = str(tmp_path / "gal.npz")
+        inf_run(inf_parser().parse_args([
+            "-ip", tree, "-mn", "efficientnet_b0", "-is", "32", "-bs", "8",
+            "--save_gallery", npz,
+        ]))
+        capsys.readouterr()
+
+        run(build_parser().parse_args(["info", npz]))
+        info = json.loads(capsys.readouterr().out)
+        assert info["items"] > 0 and info["meta"]["model"] == "efficientnet_b0"
+
+        photos = sorted(glob.glob(tree + "/photo/tx_000000000000/*/*"))[:3]
+        run(build_parser().parse_args(
+            ["query", npz, *photos, "-bs", "4", "-k", "24",
+             "--num_unique", "2", "--matmul_dtype", "bfloat16"]))
+        lines = [json.loads(l) for l in
+                 capsys.readouterr().out.strip().splitlines()]
+        assert len(lines) == 3
+        for rec in lines:
+            assert len(rec["indices"]) == 2          # num_unique dedup
+            assert len(set(rec["classes"])) == 2     # distinct classes
+            assert all(0 <= i < info["items"] for i in rec["indices"])
+            assert all(np.isfinite(rec["scores"]))
+
+    def test_query_rejects_mixed_resolutions(self, tree, tmp_path, capsys):
+        import glob
+
+        import numpy as np
+        import pytest
+        from PIL import Image
+
+        from imageretrievalresearch_tpu.cli.gallery import (
+            _collect_images,
+            _decode,
+        )
+        big = tmp_path / "big.png"
+        Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(big)
+        photos = sorted(glob.glob(tree + "/photo/tx_000000000000/*/*"))[:1]
+        paths = _collect_images([photos[0], str(big)])
+        with pytest.raises(SystemExit, match="mixed resolutions"):
+            _decode(paths, None)
+        assert _decode(paths, 32).shape == (2, 32, 32, 3)
