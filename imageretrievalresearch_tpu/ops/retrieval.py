@@ -466,10 +466,46 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
     vals, inds, ok = fused_cosine_topk_pallas(q_hat, gallery, k,
                                               matmul_dtype=matmul_dtype,
                                               interpret=interpret)
-    return jax.lax.cond(jnp.all(ok == 1),
-                        lambda _: (vals, inds),
-                        lambda _: dense_rank(q_hat),
-                        None)
+
+    # Certificate repair. Row failures are rare (~1.6e-6/row for k=150,
+    # t=6, bins=512 under a uniform top-k spread) but DETERMINISTIC per
+    # dataset: before this retry path, one unlucky dataset paid a full
+    # dense re-rank (3.7x latency) on EVERY call. Now up to RETRY rows are
+    # re-ranked densely through the same score arithmetic (a (RETRY, G)
+    # matmul, ~1-2 ms) and scattered back; only >RETRY failures — P
+    # astronomically small, or adversarial ties — fall back to the full
+    # dense pass.
+    RETRY = min(64, q)
+    bad = (ok == 0).astype(jnp.int32)
+    n_bad = jnp.sum(bad)
+
+    def repair(_):
+        # indices of up to RETRY failing rows (ties padded by index order;
+        # surplus slots harmlessly re-rank row 0)
+        _, rows = jax.lax.top_k(bad, RETRY)
+        sub = q_hat[rows]                                # (RETRY, D)
+        if use_pallas:
+            gal = gallery.astype(jnp.float32)
+            sims = pallas_cosine_scores(sub, gal, interpret=interpret)
+        elif matmul_dtype == "bfloat16":
+            sims = jax.lax.dot_general(
+                sub.astype(jnp.bfloat16),
+                l2_normalize(gallery).astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            sims = sub @ l2_normalize(gallery).T
+        rvals, rinds = chunked_topk(sims, k)
+        keep = (jnp.arange(RETRY) < n_bad)[:, None]
+        return (vals.at[rows].set(jnp.where(keep, rvals, vals[rows])),
+                inds.at[rows].set(jnp.where(keep, rinds, inds[rows])))
+
+    return jax.lax.cond(
+        n_bad == 0,
+        lambda _: (vals, inds),
+        lambda _: jax.lax.cond(n_bad <= RETRY, repair,
+                               lambda __: dense_rank(q_hat), _),
+        None)
 
 
 def cosine_scores(queries: jax.Array, gallery: jax.Array,

@@ -63,8 +63,25 @@ def _float_batches(tree, n_steps, batch_size=8):
     return out, ds.get_cat_length()
 
 
-def _torch_step(model, opt, batch, margin=0.5):
-    """This framework's cos_ce train step, literally in torch."""
+class _TorchContrastive(torch.nn.Module):
+    """Literal transcription of reference utils/contrastive_loss.py:31-61
+    (eps inside the sqrt, 0.5 * (y d^2 + (1-y) relu(m - sqrt(d^2+eps))^2))."""
+
+    def __init__(self, margin):
+        super().__init__()
+        self.margin = margin
+        self.eps = 1e-9
+
+    def forward(self, fm1, fm2, label):
+        d2 = torch.sum((fm1 - fm2) ** 2, dim=1)
+        d = torch.sqrt(d2 + self.eps)
+        loss = 0.5 * (label * d2
+                      + (1 - label) * torch.relu(self.margin - d) ** 2)
+        return loss.mean()
+
+
+def _torch_step(model, opt, batch, margin=0.5, con_margin=None):
+    """This framework's cos_ce / cos_con_ce train step, literally in torch."""
     qry = torch.from_numpy(batch["qry"].transpose(0, 3, 1, 2))
     pos = torch.from_numpy(batch["pos"][0].transpose(0, 3, 1, 2))
     neg = torch.from_numpy(batch["neg"][0].transpose(0, 3, 1, 2))
@@ -80,6 +97,9 @@ def _torch_step(model, opt, batch, margin=0.5):
     ones = torch.ones(b)
     loss = (cos(fm_q, fm_p, ones) + cos(fm_q, fm_n, -ones)
             + ce(lb_q, lbl) + ce(lb_p, lbl))
+    if con_margin is not None:
+        con = _TorchContrastive(con_margin)
+        loss = loss + con(fm_q, fm_p, ones) + con(fm_q, fm_n, 1 - ones)
     opt.zero_grad()
     loss.backward()
     opt.step()
@@ -132,3 +152,46 @@ class TestTrainingDynamicsParity:
         ours_w = np.asarray(
             state.params["net"]["head"]["classifier"]["kernel"])
         np.testing.assert_allclose(ours_w, check, rtol=5e-2, atol=5e-4)
+
+    def test_cos_con_ce_trajectory_tracks_torch(self, tmp_path):
+        """T3 — the reference's best recipe (cos+con+CE, margins 0.3/0.3,
+        train_efficient_cos_con_ce_loss.py) — same harness as above."""
+        tree = make_sketchy_tree(str(tmp_path / "sk"), n_cats=3, n_prods=1,
+                                 n_photos=8, n_sketches=4, size=32)
+        batches, n_cls = _float_batches(tree, STEPS)
+
+        torch.manual_seed(0)
+        tmodel = TorchEffNet(width_mult=0.5, depth_mult=0.1,
+                             num_classes=n_cls).train()
+        opt = torch.optim.AdamW(tmodel.parameters(), lr=LR, weight_decay=WD)
+
+        cfg = TrainConfig(model_name="efficientnet_b0", batch_size=8,
+                          image_size=32, compute_dtype="float32",
+                          learning_rate=LR, weight_decay=WD,
+                          use_contrastive=True, cos_margin=0.3,
+                          con_margin=0.3)
+        assert cfg.loss_mode == "cos_con_ce"
+        bb = create_model("efficientnet_b0", num_classes=n_cls,
+                          depth_mult=0.1, width_mult=0.5, drop_rate=0.0)
+        variables = bb.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+        variables = convert_torch_state_dict(tmodel.state_dict(), bb,
+                                             variables, strict=True)
+        tx = make_optimizer("Adam", LR, WD)
+        state = EmbedTrainState.from_backbone(bb, variables, tx)
+        step = jax.jit(build_train_step(bb, cfg, None))
+
+        ours, theirs = [], []
+        for i, b in enumerate(batches):
+            jb = {"qry": jnp.asarray(b["qry"]),
+                  "pos": [jnp.asarray(b["pos"][0])],
+                  "neg": [jnp.asarray(b["neg"][0])],
+                  "cat_idx": jnp.asarray(b["cat_idx"]),
+                  "prod_idx": jnp.asarray(b["prod_idx"])}
+            state, metrics = step(state, jb, jax.random.key(i))
+            ours.append(float(metrics["train_loss"]))
+            theirs.append(_torch_step(tmodel, opt, b, margin=cfg.cos_margin,
+                                      con_margin=cfg.con_margin))
+
+        ours, theirs = np.asarray(ours), np.asarray(theirs)
+        np.testing.assert_allclose(ours, theirs, rtol=2e-2, atol=2e-3)
+        assert theirs[-1] != theirs[0]

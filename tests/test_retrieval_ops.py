@@ -184,6 +184,30 @@ class TestFusedTopk:
             l2_normalize(jnp.asarray(q)) @ l2_normalize(jnp.asarray(g)).T, 5)
         np.testing.assert_array_equal(np.asarray(wi), np.asarray(ri))
 
+    def test_partial_certificate_failure_repairs_only_bad_rows(self, rng):
+        """Mixed batch: some rows overflow their bin buffers, others pass —
+        the bounded retry path must restore exact lax.top_k results for
+        every row without a full dense fallback."""
+        q, g = self._int_qg(rng, q=16, g=4096)
+        for t in range(8):
+            row = np.zeros((32,), np.float32)
+            row[:16] = 1.0
+            row[t] = 2.0 + t
+            g[t * 512] = row
+        # only the first 3 queries align with the overflowing bin
+        q[:3] = 0.0
+        q[:3, :16] = 1.0
+        qh = l2_normalize(jnp.asarray(q))
+        _, _, ok = fused_cosine_topk_pallas(qh, jnp.asarray(g), 20,
+                                            interpret=True)
+        ok = np.asarray(ok)
+        assert not ok[:3].all() and ok[3:].all()
+        rv, ri = jax.lax.top_k(qh @ l2_normalize(jnp.asarray(g)).T, 20)
+        wv, wi = cosine_topk(jnp.asarray(q), jnp.asarray(g), 20,
+                             method="fused", interpret=True)
+        np.testing.assert_array_equal(np.asarray(wi), np.asarray(ri))
+        np.testing.assert_array_equal(np.asarray(wv), np.asarray(rv))
+
     def test_bf16_fused_matches_bf16_dense_exactly(self, rng):
         """matmul_dtype='bfloat16' must rank identically to the dense bf16
         path (the lax.cond fallback contract): same normalize-then-cast
