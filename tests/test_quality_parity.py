@@ -195,3 +195,64 @@ class TestTrainingDynamicsParity:
         ours, theirs = np.asarray(ours), np.asarray(theirs)
         np.testing.assert_allclose(ours, theirs, rtol=2e-2, atol=2e-3)
         assert theirs[-1] != theirs[0]
+
+    def test_swin_cos_only_trajectory_tracks_torch(self, tmp_path):
+        """T4 — the transformer path (train_vit_triplet.py: swin, embedding
+        cosine loss margin 0.2 only) — same harness, shrunken Swin vs the
+        literal torch replica from test_convert_swin."""
+        from test_convert_swin import TorchSwin
+
+        tree = make_sketchy_tree(str(tmp_path / "sk"), n_cats=3, n_prods=1,
+                                 n_photos=8, n_sketches=4, size=56)
+        batches, n_cls = _float_batches(tree, STEPS, batch_size=4)
+
+        torch.manual_seed(3)
+        tmodel = TorchSwin(num_classes=n_cls).train()
+        opt = torch.optim.AdamW(tmodel.parameters(), lr=LR, weight_decay=WD)
+
+        cfg = TrainConfig(model_name="swin_tiny_patch4_window7_224",
+                          batch_size=4, image_size=56,
+                          compute_dtype="float32", learning_rate=LR,
+                          weight_decay=WD, cos_margin=0.2,
+                          only_feature_embeddings=True,
+                          only_target_labels=None)
+        assert cfg.loss_mode == "cos_only"
+        bb = create_model("swin_tiny_patch4_window7_224", num_classes=n_cls,
+                          img_size=56, embed_dim=24, depths=(2, 2),
+                          num_heads=(2, 4), window_sizes=(7, 7),
+                          drop_path_rate=0.0)
+        variables = bb.init(jax.random.key(0), jnp.zeros((1, 56, 56, 3)))
+        variables = convert_torch_state_dict(tmodel.state_dict(), bb,
+                                             variables, strict=True)
+        tx = make_optimizer("Adam", LR, WD)
+        state = EmbedTrainState.from_backbone(bb, variables, tx)
+        step = jax.jit(build_train_step(bb, cfg, None))
+
+        cos = torch.nn.CosineEmbeddingLoss(margin=0.2)
+        ours, theirs = [], []
+        for i, b in enumerate(batches):
+            jb = {"qry": jnp.asarray(b["qry"]),
+                  "pos": [jnp.asarray(b["pos"][0])],
+                  "neg": [jnp.asarray(b["neg"][0])],
+                  "cat_idx": jnp.asarray(b["cat_idx"]),
+                  "prod_idx": jnp.asarray(b["prod_idx"])}
+            state, metrics = step(state, jb, jax.random.key(i))
+            ours.append(float(metrics["train_loss"]))
+
+            qry = torch.from_numpy(b["qry"].transpose(0, 3, 1, 2))
+            pos = torch.from_numpy(b["pos"][0].transpose(0, 3, 1, 2))
+            neg = torch.from_numpy(b["neg"][0].transpose(0, 3, 1, 2))
+            bs = qry.shape[0]
+            fm = tmodel.forward_features(
+                torch.cat([qry, pos, neg], dim=0)).mean(1)
+            ones = torch.ones(bs)
+            loss = (cos(fm[:bs], fm[bs:2 * bs], ones)
+                    + cos(fm[:bs], fm[2 * bs:], -ones))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            theirs.append(float(loss.detach()))
+
+        ours, theirs = np.asarray(ours), np.asarray(theirs)
+        np.testing.assert_allclose(ours, theirs, rtol=2e-2, atol=2e-3)
+        assert theirs[-1] != theirs[0]
