@@ -52,7 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--method", type=str, default="exact",
                     choices=["exact", "approx"])
     pq.add_argument("--matmul_dtype", type=str, default="float32",
-                    choices=["float32", "bfloat16"])
+                    choices=["float32", "bfloat16", "int8"],
+                    help="bfloat16/int8 = half/quarter gallery bytes, "
+                         "exact top-k of the rounded/quantized scores")
     pq.add_argument("--transform", type=str, default=None,
                     choices=["squarepad", "plain"],
                     help="eval transform (default: the artifact's recorded "

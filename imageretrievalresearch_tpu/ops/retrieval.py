@@ -270,6 +270,50 @@ def _fused_topk_kernel_bf16(q_ref, g_ref, vals_out, inds_out, ok_out,
                         g_real=g_real)
 
 
+def _fused_topk_kernel_int8(q_ref, g_ref, qs_ref, gs_ref, vals_out, inds_out,
+                            ok_out, bufv_ref, bufi_ref, *, k: int,
+                            t_depth: int, g_real: int):
+    """int8 variant: per-row symmetrically quantized normalized embeddings
+    stream at a QUARTER of the f32 bytes (the kernel is stream-bound — see
+    PERF.md ceilings); the matmul runs on the MXU's int8 path with int32
+    accumulation, then scores are rescaled to f32 by the outer product of
+    the per-row scales. Top-k is exact for the quantized scores; the same
+    arithmetic is used by the dense fallback so rankings agree."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        bufv_ref[:] = jnp.full_like(bufv_ref, -jnp.inf)
+        bufi_ref[:] = jnp.zeros_like(bufi_ref)
+
+    s32 = jax.lax.dot_general(
+        q_ref[:], g_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    s = s32.astype(jnp.float32) * (qs_ref[:] * gs_ref[:].reshape(1, -1))
+    _stream_topk_update(s, j, pl.num_programs(1), vals_out, inds_out, ok_out,
+                        bufv_ref, bufi_ref, k=k, t_depth=t_depth,
+                        g_real=g_real)
+
+
+def quantize_rows_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 quantization: returns (values, scales) with
+    ``x ≈ values * scales``; scales shaped (N, 1) f32."""
+    x = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True),
+                        1e-12) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _int8_scores(qq, qs, gq, gs):
+    """Dense-path score arithmetic for int8 mode (must match the kernel)."""
+    s32 = jax.lax.dot_general(qq, gq,
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return s32.astype(jnp.float32) * (qs * gs.reshape(1, -1))
+
+
 def fused_cosine_topk_pallas(
         queries_hat: jax.Array, gallery: jax.Array, k: int,
         *, q_tile: int = 256, g_tile: int = 512, t_depth: int = 6,
@@ -293,6 +337,7 @@ def fused_cosine_topk_pallas(
     g = gallery.shape[0]
     assert k <= t_depth * g_tile, (k, t_depth, g_tile)
     bf16 = matmul_dtype == "bfloat16"
+    int8 = matmul_dtype == "int8"
     # The kernel supports folding F gallery tiles per grid step (bin width
     # stays g_tile). Measured on chip: fold=2 for bf16 needed the slow
     # slice-wise epilogue to fit VMEM and netted ~3 ms back on a ~10 ms
@@ -324,6 +369,32 @@ def fused_cosine_topk_pallas(
         ],
         interpret=interpret,
     )
+    if int8:
+        qq, qs = quantize_rows_int8(qh)
+        gq, gs = quantize_rows_int8(
+            jnp.pad(l2_normalize(gallery), ((0, gp - g), (0, 0))))
+        kernel = functools.partial(_fused_topk_kernel_int8, k=k,
+                                   t_depth=t_depth, g_real=g)
+        vals, inds, ok = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((q_tile, d), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_block, d), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g_block, 1), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * qp * gp * d,
+                bytes_accessed=qp * d + gp * d + (qp + gp + qp * 2 * k) * 4,
+                transcendentals=0),
+            **common,
+        )(qq, gq, qs, gs)
+        return vals[:q], inds[:q], ok[:q, 0]
     if bf16:
         g_hat = jnp.pad(l2_normalize(gallery), ((0, gp - g), (0, 0)))
         kernel = functools.partial(_fused_topk_kernel_bf16, k=k,
@@ -411,9 +482,16 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
       decompose into multiple bf16 passes on the MXU). Ranking is exact for
       the bf16-rounded scores; near-tie order vs f32 may differ within the
       input rounding (~1e-2 on unit vectors). Applies to the fused kernel
-      and the dense path alike — the recommended serving mode (higher
+      and the dense path alike — a recommended serving mode (higher
       fidelity than ``method='approx'`` at comparable speed). Default
       stays f32 for reference parity.
+    - ``matmul_dtype='int8'`` per-row symmetrically quantizes the
+      normalized embeddings and scores them on the MXU's int8 path with
+      int32 accumulation, rescaling by the per-row scale outer product.
+      The gallery streams at a QUARTER of the f32 bytes (the fused kernel
+      is stream-bound) and holds 4x the items per chip. Top-k is exact
+      for the quantized scores; measured ranking quality vs f32 is near-
+      perfect on unit-norm embeddings (see PERF.md).
     """
     q, d = queries.shape
     g = gallery.shape[0]
@@ -424,7 +502,7 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
         method == "exact"
         and (jax.default_backend() == "tpu" or interpret)
         and not use_pallas
-        and matmul_dtype in ("float32", "bfloat16")
+        and matmul_dtype in ("float32", "bfloat16", "int8")
         and _fused_eligible(q, g, d, k, 512, 6))
 
     def dense_rank(q_hat):
@@ -432,6 +510,8 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
             g_for_scores = gallery.astype(jnp.float32)
         else:
             g_for_scores = l2_normalize(gallery)
+        if matmul_dtype == "int8" and not use_pallas:
+            gq_d, gs_d = quantize_rows_int8(g_for_scores)
 
         qb = min(query_block, _round_up(q, 8))
         qp = _round_up(q, qb)
@@ -442,6 +522,9 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
             if use_pallas:
                 return pallas_cosine_scores(qblk, g_for_scores,
                                             interpret=interpret)
+            if matmul_dtype == "int8":
+                qq_d, qs_d = quantize_rows_int8(qblk)
+                return _int8_scores(qq_d, qs_d, gq_d, gs_d)
             if matmul_dtype == "bfloat16":
                 return jax.lax.dot_general(
                     qblk.astype(jnp.bfloat16),
@@ -487,6 +570,10 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
         if use_pallas:
             gal = gallery.astype(jnp.float32)
             sims = pallas_cosine_scores(sub, gal, interpret=interpret)
+        elif matmul_dtype == "int8":
+            qq_r, qs_r = quantize_rows_int8(sub)
+            gq_r, gs_r = quantize_rows_int8(l2_normalize(gallery))
+            sims = _int8_scores(qq_r, qs_r, gq_r, gs_r)
         elif matmul_dtype == "bfloat16":
             sims = jax.lax.dot_general(
                 sub.astype(jnp.bfloat16),

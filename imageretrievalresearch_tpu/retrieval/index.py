@@ -147,8 +147,9 @@ class GalleryIndex:
         Returns ``(vals, inds, classes)`` each (Q, k). ``method`` follows
         :func:`cosine_topk` ('exact' routes through the fused Pallas kernel
         on TPU, 'approx' is the recall~0.95 serving path);
-        ``matmul_dtype='bfloat16'`` is the recommended serving mode (exact
-        top-k of single-pass bf16 MXU scores, ~f32 ranking up to near-ties).
+        ``matmul_dtype='bfloat16'``/``'int8'`` are the serving modes (exact
+        top-k of bf16-rounded / int8-quantized MXU scores at half / quarter
+        the gallery bytes; ~f32 ranking up to near-ties).
         With ``mesh``, the gallery is sharded over the mesh's 'data' axis
         and ranked per-shard with an all-gather merge (exact).
         """

@@ -184,6 +184,51 @@ class TestFusedTopk:
             l2_normalize(jnp.asarray(q)) @ l2_normalize(jnp.asarray(g)).T, 5)
         np.testing.assert_array_equal(np.asarray(wi), np.asarray(ri))
 
+    def test_int8_fused_matches_int8_dense_exactly(self, rng):
+        """matmul_dtype='int8' must rank identically to the dense int8
+        arithmetic (the fallback contract). Integer data: quantized values,
+        int32 products, and the f32 rescale are all exact."""
+        from imageretrievalresearch_tpu.ops.retrieval import (
+            _int8_scores,
+            quantize_rows_int8,
+        )
+        q, g = self._int_qg(rng, q=24, g=2100)
+        qh = l2_normalize(jnp.asarray(q))
+        gj = jnp.asarray(g)
+        v, i, ok = fused_cosine_topk_pallas(qh, gj, 150,
+                                            matmul_dtype="int8",
+                                            interpret=True)
+        qq, qs = quantize_rows_int8(qh)
+        gq, gs = quantize_rows_int8(l2_normalize(gj))
+        rv, ri = jax.lax.top_k(_int8_scores(qq, qs, gq, gs), 150)
+        ok = np.asarray(ok)
+        assert ok.any()
+        for r in np.nonzero(ok)[0]:
+            np.testing.assert_array_equal(np.asarray(i)[r], np.asarray(ri)[r])
+            np.testing.assert_array_equal(np.asarray(v)[r], np.asarray(rv)[r])
+        wv, wi = cosine_topk(jnp.asarray(q), gj, 150, method="fused",
+                             matmul_dtype="int8", interpret=True)
+        np.testing.assert_array_equal(np.asarray(wi), np.asarray(ri))
+
+    def test_int8_quantization_roundtrip(self, rng):
+        from imageretrievalresearch_tpu.ops.retrieval import (
+            quantize_rows_int8,
+        )
+        x = rng.normal(size=(16, 64)).astype(np.float32)
+        qv, s = quantize_rows_int8(jnp.asarray(x))
+        assert qv.dtype == jnp.int8 and s.shape == (16, 1)
+        np.testing.assert_allclose(np.asarray(qv) * np.asarray(s), x,
+                                   atol=np.abs(x).max() / 127 + 1e-7)
+
+    def test_int8_ranking_close_to_f32(self, rng):
+        q, g = _qg(rng, q=16, g=2100, d=64)
+        vb, ib = cosine_topk(q, g, 10, method="fused",
+                             matmul_dtype="int8", interpret=True)
+        vf, if_ = cosine_topk(q, g, 10, method="fused", interpret=True)
+        assert (np.asarray(ib)[:, 0] == np.asarray(if_)[:, 0]).mean() >= 0.8
+        np.testing.assert_allclose(np.asarray(vb), np.asarray(vf),
+                                   rtol=0, atol=3e-2)
+
     def test_partial_certificate_failure_repairs_only_bad_rows(self, rng):
         """Mixed batch: some rows overflow their bin buffers, others pass —
         the bounded retry path must restore exact lax.top_k results for
