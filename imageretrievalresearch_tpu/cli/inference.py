@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "GalleryIndex .npz (serving artifact: load with "
                         "retrieval.GalleryIndex.load and query without "
                         "re-embedding)")
+    p.add_argument("--gallery_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16", "int8"],
+                   help="--save_gallery storage dtype (bfloat16/int8 = "
+                        "half/quarter artifact size)")
     return p
 
 
@@ -132,7 +136,7 @@ def run(args: argparse.Namespace) -> None:
                                  "transform": args.transform,
                                  "input_size": args.input_size})
         gal.add(embeds["fms_poss_all"], embeds["classes_all"])
-        gal.save(args.save_gallery)
+        gal.save(args.save_gallery, store_dtype=args.gallery_dtype)
         print(f"Saved {len(gal)}-item gallery index to {args.save_gallery}")
     if args.topk_variant == "index_match":
         results = engine.evaluate_index_match(embeds)

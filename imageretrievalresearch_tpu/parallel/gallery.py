@@ -26,6 +26,7 @@ from imageretrievalresearch_tpu.ops.retrieval import (
 def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
                         mesh: Mesh, *, axis_name: str = "data",
                         use_fused: bool | None = None,
+                        matmul_dtype: str = "float32",
                         interpret: bool = False
                         ) -> tuple[jax.Array, jax.Array]:
     """(Q, D) × (G, D) -> global (vals, inds) with the gallery sharded on
@@ -34,7 +35,9 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
     On TPU, each device ranks its shard with the fused Pallas streaming
     kernel (normalize + matmul + exact in-VMEM top-k, certificate +
     per-shard lax.cond dense fallback); other backends use the dense
-    blocked path. ``use_fused`` overrides the auto choice.
+    blocked path. ``use_fused`` overrides the auto choice;
+    ``matmul_dtype`` selects the bf16/int8 serving arithmetic per shard
+    (see :func:`ops.retrieval.cosine_topk`).
     """
     n_dev = mesh.shape[axis_name]
     g = gallery.shape[0]
@@ -51,20 +54,37 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
         (jax.default_backend() == "tpu" or interpret)
         and _fused_eligible(q, shard, d, k_local, 512, 6))
 
+    def dense_sims(q_hat, g_local):
+        if matmul_dtype == "int8":
+            from imageretrievalresearch_tpu.ops.retrieval import (
+                _int8_scores,
+                quantize_rows_int8,
+            )
+            qq, qs = quantize_rows_int8(q_hat)
+            gq, gs = quantize_rows_int8(l2_normalize(g_local))
+            return _int8_scores(qq, qs, gq, gs)
+        if matmul_dtype == "bfloat16":
+            return jax.lax.dot_general(
+                q_hat.astype(jnp.bfloat16),
+                l2_normalize(g_local).astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return q_hat @ l2_normalize(g_local).T
+
     def local_rank(q_hat, g_local):
         # g_local: (shard, D) on each device
         if fused:
             vals, inds, ok = fused_cosine_topk_pallas(
-                q_hat, g_local, k_local, interpret=interpret)
+                q_hat, g_local, k_local, matmul_dtype=matmul_dtype,
+                interpret=interpret)
             vals, inds = jax.lax.cond(
                 jnp.all(ok == 1),
                 lambda _: (vals, inds),
-                lambda _: tuple(chunked_topk(
-                    q_hat @ l2_normalize(g_local).T, k_local)),
+                lambda _: tuple(chunked_topk(dense_sims(q_hat, g_local),
+                                             k_local)),
                 None)
         else:
-            sims = q_hat @ l2_normalize(g_local).T
-            vals, inds = chunked_topk(sims, k_local)
+            vals, inds = chunked_topk(dense_sims(q_hat, g_local), k_local)
         # localize -> globalize indices by shard offset
         offset = jax.lax.axis_index(axis_name) * shard
         return vals, inds + offset

@@ -103,18 +103,42 @@ class GalleryIndex:
 
     # --- persistence ---
 
-    def save(self, path: str | Path) -> None:
-        """One portable .npz: embeddings, classes, paths, json meta."""
+    def save(self, path: str | Path, *,
+             store_dtype: str = "float32") -> None:
+        """One portable .npz: embeddings, classes, paths, json meta.
+
+        ``store_dtype`` shrinks the artifact: ``'bfloat16'`` (half size,
+        stored as a uint16 bit view) or ``'int8'`` (quarter size, per-row
+        symmetric quantization + f32 scales — pairs with the
+        ``matmul_dtype='int8'`` query mode). Loads reconstruct f32; the
+        bf16/int8 rounding matches the corresponding query arithmetic.
+        """
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
+        emb = self.embeddings
+        extra = {}
+        if store_dtype == "bfloat16":
+            import ml_dtypes
+            emb = emb.astype(ml_dtypes.bfloat16).view(np.uint16)
+        elif store_dtype == "int8":
+            from imageretrievalresearch_tpu.ops.retrieval import (
+                quantize_rows_int8,
+            )
+            q, s = quantize_rows_int8(jnp.asarray(emb))
+            emb = np.asarray(q)
+            extra["scales"] = np.asarray(s)
+        elif store_dtype != "float32":
+            raise ValueError(f"unknown store_dtype {store_dtype!r}")
         np.savez_compressed(
             path,
-            embeddings=self.embeddings,
+            embeddings=emb,
             classes=self.classes,
             paths=np.asarray(self._paths, dtype=object),
             meta=np.frombuffer(json.dumps(
                 {"version": _FORMAT_VERSION, "dim": self.dim,
-                 **self.meta}).encode(), dtype=np.uint8),
+                 "store_dtype": store_dtype, **self.meta}).encode(),
+                dtype=np.uint8),
+            **extra,
         )
 
     @classmethod
@@ -123,8 +147,16 @@ class GalleryIndex:
             meta = json.loads(bytes(z["meta"].tobytes()).decode())
             if meta.pop("version") != _FORMAT_VERSION:
                 raise ValueError(f"unsupported gallery format in {path}")
+            store_dtype = meta.pop("store_dtype", "float32")
             idx = cls(meta.pop("dim"), meta=meta)
-            e = z["embeddings"].astype(np.float32)
+            e = z["embeddings"]
+            if store_dtype == "bfloat16":
+                import ml_dtypes
+                e = e.view(ml_dtypes.bfloat16).astype(np.float32)
+            elif store_dtype == "int8":
+                e = e.astype(np.float32) * z["scales"]
+            else:
+                e = e.astype(np.float32)
             if e.shape[0]:
                 idx._embeds = [e]
                 idx._classes = [z["classes"].astype(np.int32)]
@@ -172,6 +204,7 @@ class GalleryIndex:
                 g = jnp.pad(g, ((0, pad), (0, 0)))
             kk = min(k + pad, g.shape[0])
             vals, inds = sharded_cosine_topk(q, g, kk, mesh,
+                                             matmul_dtype=matmul_dtype,
                                              interpret=interpret)
             if pad:
                 vals = jnp.where(inds < len(self), vals, -jnp.inf)

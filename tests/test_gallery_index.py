@@ -139,6 +139,54 @@ class TestPersistence:
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_allclose(v1, v2)
 
+    @pytest.mark.parametrize("store_dtype,atol", [("bfloat16", 1 / 128),
+                                                  ("int8", 1 / 64)])
+    def test_compact_storage_roundtrip(self, data, tmp_path, store_dtype,
+                                       atol):
+        """bf16/int8 artifacts reconstruct within the rounding budget and
+        rank ~identically (normalized embeddings live in [-1, 1])."""
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        f = tmp_path / f"gal_{store_dtype}.npz"
+        idx.save(f, store_dtype=store_dtype)
+        idx2 = GalleryIndex.load(f)
+        np.testing.assert_allclose(idx2.embeddings, idx.embeddings,
+                                   atol=atol)
+        _, i1, _ = idx.query(q, k=5)
+        _, i2, _ = idx2.query(q, k=5)
+        assert (i1[:, 0] == i2[:, 0]).mean() >= 0.8   # top-1 robust
+        assert np.mean([len(set(a) & set(b)) / 5
+                        for a, b in zip(i1, i2)]) >= 0.8
+
+    def test_compact_storage_is_smaller(self, data, tmp_path):
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        sizes = {}
+        for sd in ("float32", "bfloat16", "int8"):
+            f = tmp_path / f"g_{sd}.npz"
+            idx.save(f, store_dtype=sd)
+            sizes[sd] = f.stat().st_size
+        assert sizes["bfloat16"] < sizes["float32"]
+        assert sizes["int8"] < sizes["bfloat16"]
+
+    def test_unknown_store_dtype_rejected(self, data, tmp_path):
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        with pytest.raises(ValueError, match="store_dtype"):
+            idx.save(tmp_path / "x.npz", store_dtype="float16")
+
+
+class TestShardedDtype:
+    def test_sharded_bf16_matches_single_device_bf16(self, data):
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        mesh = make_mesh(8)
+        v1, i1, _ = idx.query(q, k=10, mesh=mesh, matmul_dtype="bfloat16")
+        v2, i2, _ = idx.query(q, k=10, matmul_dtype="bfloat16")
+        assert i1.max() < len(idx)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_allclose(v1, v2, atol=1e-6)
+
     def test_load_then_extend(self, data, tmp_path):
         q, g, c = data
         idx = GalleryIndex(32).add(g[:200], c[:200])
