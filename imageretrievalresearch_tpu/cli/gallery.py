@@ -11,10 +11,13 @@ Subcommands:
 - ``info``   — print an artifact's size / dim / metadata.
 - ``query``  — embed image files (or a directory) with the artifact's
   recorded model + transform and print per-query rankings as JSON lines.
+- ``serve``  — keep the model + gallery resident and answer rankings over
+  HTTP (stdlib ``http.server``): POST a raw image body to ``/search``
+  (`?k=&num_unique=`) for a JSON ranking; GET ``/healthz`` for liveness.
 
 Ranking semantics follow the reference notebook (``topk(cos, k)`` +
-optional unique-class dedup); ``--matmul_dtype bfloat16`` selects the
-half-memory single-MXU-pass serving mode (PERF.md).
+optional unique-class dedup); ``--matmul_dtype bfloat16|int8`` selects
+the half/quarter-memory serving modes (PERF.md).
 """
 
 from __future__ import annotations
@@ -62,6 +65,22 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--host_size", type=int, default=None,
                     help="host-side decode resize; required when query "
                          "images have mixed source resolutions")
+
+    ps = sub.add_parser("serve", help="HTTP retrieval endpoint")
+    ps.add_argument("gallery", type=str, help="GalleryIndex .npz path")
+    ps.add_argument("-cp", "--checkpoint_path", type=str, default="")
+    ps.add_argument("-mn", "--model_name", type=str, default=None)
+    ps.add_argument("-is", "--input_size", type=int, default=None)
+    ps.add_argument("-k", "--topk", type=int, default=150)
+    ps.add_argument("--num_unique", type=int, default=3)
+    ps.add_argument("--method", type=str, default="exact",
+                    choices=["exact", "approx"])
+    ps.add_argument("--matmul_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16", "int8"])
+    ps.add_argument("--transform", type=str, default=None,
+                    choices=["squarepad", "plain"])
+    ps.add_argument("--host", type=str, default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8321)
     return p
 
 
@@ -100,6 +119,153 @@ def _decode(paths: list[Path], host_size: int | None):
     return np.stack(arrs)
 
 
+def _load_stack(args, idx):
+    """Resolve model/transform from args + the artifact's recorded meta and
+    return ``(embed_fn, transform_name, input_size)`` with the model
+    resident. ``embed_fn(uint8_batch) -> (N, dim) np.ndarray``."""
+    import contextlib
+
+    import jax
+    import numpy as np
+
+    from imageretrievalresearch_tpu.cli.inference import build_eval_transform
+    from imageretrievalresearch_tpu.models import create_model
+    from imageretrievalresearch_tpu.models.convert import load_checkpoint
+
+    meta = idx.meta
+    model_name = args.model_name or meta.get("model") or "efficientnet_b3a"
+    ckpt = args.checkpoint_path or meta.get("checkpoint") or ""
+    transform = args.transform or meta.get("transform") or "squarepad"
+    input_size = args.input_size or meta.get("input_size") or 224
+
+    backbone = create_model(model_name, num_classes=1)
+    # keep stdout a pure JSON-lines stream — loader chatter goes to stderr
+    with contextlib.redirect_stdout(sys.stderr):
+        variables = load_checkpoint(ckpt, backbone,
+                                    sample_shape=(1, input_size,
+                                                  input_size, 3))
+    tfm = build_eval_transform(transform, input_size)
+    jit_embed = jax.jit(lambda v, x: backbone.embed(v, x, train=False))
+
+    def embed_fn(batch_u8):
+        return np.asarray(jit_embed(variables, tfm(batch_u8)))
+
+    print(f"gallery: {len(idx)} items, dim {idx.dim}, model {model_name}, "
+          f"transform {transform}@{input_size}", file=sys.stderr)
+    return embed_fn, transform, input_size
+
+
+def _rank(idx, queries, args):
+    """Shared ranking + record building for query/serve."""
+    kw = dict(method=args.method, matmul_dtype=args.matmul_dtype)
+    k = min(args.topk, len(idx))
+    if args.num_unique:
+        inds, vals, classes = idx.query_class_dedup(
+            queries, k=k, num_unique=args.num_unique, **kw)
+    else:
+        vals, inds, classes = idx.query(queries, k=k, **kw)
+    gpaths = idx.paths
+    records = []
+    for qi in range(len(queries)):
+        # dedup pads with -1/-inf when fewer than num_unique classes exist
+        # within the top-k candidates — drop the filler from served output
+        keep = [int(x) >= 0 for x in inds[qi]]
+        ginds = [int(x) for x, m in zip(inds[qi], keep) if m]
+        records.append({
+            "indices": ginds,
+            "scores": [round(float(v), 5)
+                       for v, m in zip(vals[qi], keep) if m],
+            "classes": [int(c) for c, m in zip(classes[qi], keep) if m],
+            "paths": [gpaths[g] for g in ginds] if any(gpaths) else None,
+        })
+    return records
+
+
+def _serve(args) -> None:
+    srv = _make_server(args)
+    print(f"serving on http://{srv.server_address[0]}:"
+          f"{srv.server_address[1]} (POST /search?k=&num_unique=, "
+          f"GET /healthz)", file=sys.stderr)
+    srv.serve_forever()
+
+
+def _make_server(args):
+    """Resident HTTP retrieval endpoint (stdlib only); returns the bound
+    server (``serve_forever`` left to the caller/tests)."""
+    import io
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import numpy as np
+    from PIL import Image
+
+    from imageretrievalresearch_tpu.retrieval import GalleryIndex
+
+    idx = GalleryIndex.load(args.gallery)
+    embed_fn, transform, input_size = _load_stack(args, idx)
+
+    def decode_canonical(body: bytes) -> np.ndarray:
+        """One fixed device shape per server (no per-size recompiles):
+        'squarepad' pads to square with 255 on host (same arithmetic as
+        the device SquarePad at source aspect) then resizes; 'plain'
+        resizes directly."""
+        with Image.open(io.BytesIO(body)) as im:
+            im = im.convert("RGB")
+            if transform == "squarepad":
+                w, h = im.size
+                side = max(w, h)
+                sq = Image.new("RGB", (side, side), (255, 255, 255))
+                sq.paste(im, ((side - w) // 2, (side - h) // 2))
+                im = sq
+            im = im.resize((input_size, input_size), Image.BILINEAR)
+            return np.asarray(im, np.uint8)[None]
+
+    import threading
+
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):       # stderr, not stdout
+            sys.stderr.write("serve: " + fmt % a + "\n")
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                self._json(200, {"ok": True, "items": len(idx),
+                                 "dim": idx.dim})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if not self.path.startswith("/search"):
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                from urllib.parse import parse_qs, urlparse
+                qs = parse_qs(urlparse(self.path).query)
+                n = int(self.headers.get("Content-Length", 0))
+                x = decode_canonical(self.rfile.read(n))
+                req = argparse.Namespace(
+                    topk=int(qs.get("k", [args.topk])[0]),
+                    num_unique=int(qs.get("num_unique",
+                                          [args.num_unique])[0]),
+                    method=args.method, matmul_dtype=args.matmul_dtype)
+                with lock:             # one device computation at a time
+                    queries = embed_fn(x)
+                    rec = _rank(idx, queries, req)[0]
+                self._json(200, rec)
+            except Exception as e:     # noqa: BLE001 — report, keep serving
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((args.host, args.port), Handler)
+
+
 def run(args: argparse.Namespace) -> None:
     from imageretrievalresearch_tpu.retrieval import GalleryIndex
 
@@ -110,63 +276,25 @@ def run(args: argparse.Namespace) -> None:
                           if len(idx) else 0,
                           "meta": idx.meta}, indent=2))
         return
+    if args.cmd == "serve":
+        _serve(args)
+        return
 
     import numpy as np
 
-    from imageretrievalresearch_tpu.cli.inference import build_eval_transform
-    from imageretrievalresearch_tpu.models import create_model
-    from imageretrievalresearch_tpu.models.convert import load_checkpoint
-
     idx = GalleryIndex.load(args.gallery)
-    meta = idx.meta
-    model_name = args.model_name or meta.get("model") or "efficientnet_b3a"
-    ckpt = args.checkpoint_path or meta.get("checkpoint") or ""
-    transform = args.transform or meta.get("transform") or "squarepad"
-    input_size = args.input_size or meta.get("input_size") or 224
-
     paths = _collect_images(args.images)
-    print(f"{len(paths)} query images | gallery: {len(idx)} items, "
-          f"dim {idx.dim}, model {model_name}", file=sys.stderr)
+    print(f"{len(paths)} query images", file=sys.stderr)
+    embed_fn, _, _ = _load_stack(args, idx)
 
-    backbone = create_model(model_name, num_classes=1)
-    # keep stdout a pure JSON-lines stream — loader chatter goes to stderr
-    import contextlib
-
-    with contextlib.redirect_stdout(sys.stderr):
-        variables = load_checkpoint(ckpt, backbone,
-                                    sample_shape=(1, input_size,
-                                                  input_size, 3))
-    tfm = build_eval_transform(transform, input_size)
-
-    import jax
-
-    embed = jax.jit(lambda v, x: backbone.embed(v, x, train=False))
     embeds = []
     for i in range(0, len(paths), args.batch_size):
         x = _decode(paths[i:i + args.batch_size], args.host_size)
-        embeds.append(np.asarray(embed(variables, tfm(x))))
+        embeds.append(embed_fn(x))
     queries = np.concatenate(embeds)
 
-    kw = dict(method=args.method, matmul_dtype=args.matmul_dtype)
-    if args.num_unique:
-        inds, vals, classes = idx.query_class_dedup(
-            queries, k=args.topk, num_unique=args.num_unique, **kw)
-    else:
-        vals, inds, classes = idx.query(queries, k=args.topk, **kw)
-    gpaths = idx.paths
-    for qi, qpath in enumerate(paths):
-        # dedup pads with -1/-inf when fewer than num_unique classes exist
-        # within the top-k candidates — drop the filler from served output
-        keep = [int(g) >= 0 for g in inds[qi]]
-        ginds = [int(g) for g, m in zip(inds[qi], keep) if m]
-        print(json.dumps({
-            "query": str(qpath),
-            "indices": ginds,
-            "scores": [round(float(v), 5)
-                       for v, m in zip(vals[qi], keep) if m],
-            "classes": [int(c) for c, m in zip(classes[qi], keep) if m],
-            "paths": [gpaths[g] for g in ginds] if any(gpaths) else None,
-        }))
+    for qpath, rec in zip(paths, _rank(idx, queries, args)):
+        print(json.dumps({"query": str(qpath), **rec}))
 
 
 def main() -> None:

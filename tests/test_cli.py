@@ -151,6 +151,65 @@ class TestGalleryCLI:
             assert all(0 <= i < info["items"] for i in rec["indices"])
             assert all(np.isfinite(rec["scores"]))
 
+    def test_serve_endpoint(self, tree, tmp_path, capsys):
+        """HTTP serving flow: build artifact -> serve -> /healthz ->
+        POST /search with a raw image body."""
+        import glob
+        import json
+        import threading
+        import urllib.request
+
+        from imageretrievalresearch_tpu.cli.gallery import (
+            _make_server,
+            build_parser,
+        )
+        from imageretrievalresearch_tpu.cli.inference import (
+            build_parser as inf_parser,
+            run as inf_run,
+        )
+
+        npz = str(tmp_path / "gal.npz")
+        inf_run(inf_parser().parse_args([
+            "-ip", tree, "-mn", "efficientnet_b0", "-is", "32", "-bs", "8",
+            "--save_gallery", npz, "--gallery_dtype", "int8",
+        ]))
+        capsys.readouterr()
+
+        srv = _make_server(build_parser().parse_args(
+            ["serve", npz, "--port", "0", "-k", "24", "--num_unique", "2",
+             "--matmul_dtype", "int8"]))
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{srv.server_address[1]}"
+            with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+                health = json.loads(r.read())
+            assert health["ok"] and health["items"] > 0
+
+            photo = sorted(glob.glob(
+                tree + "/photo/tx_000000000000/*/*"))[0]
+            req = urllib.request.Request(
+                base + "/search?num_unique=2", data=open(photo, "rb").read(),
+                method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                rec = json.loads(r.read())
+            assert len(rec["indices"]) == 2
+            assert len(set(rec["classes"])) == 2
+            assert all(0 <= i < health["items"] for i in rec["indices"])
+
+            # malformed body -> structured 400, server stays up
+            bad = urllib.request.Request(base + "/search", data=b"not-an-img",
+                                         method="POST")
+            try:
+                urllib.request.urlopen(bad, timeout=30)
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400 and "error" in json.loads(e.read())
+            with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+                assert json.loads(r.read())["ok"]
+        finally:
+            srv.shutdown()
+
     def test_query_rejects_mixed_resolutions(self, tree, tmp_path, capsys):
         import glob
 
