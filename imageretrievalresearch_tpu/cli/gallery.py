@@ -62,9 +62,17 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["squarepad", "plain"],
                     help="eval transform (default: the artifact's recorded "
                          "transform)")
+    pq.add_argument("--num_classes", type=int, default=None,
+                    help="classifier width for checkpoint loading "
+                         "(default: the artifact's recorded value)")
+    pq.add_argument("--conv_input", action="store_true", default=None,
+                    help="model has the 3x3 conv+SiLU stem (default: the "
+                         "artifact's recorded value)")
     pq.add_argument("--host_size", type=int, default=None,
                     help="host-side decode resize; required when query "
-                         "images have mixed source resolutions")
+                         "images have mixed source resolutions (applied "
+                         "after an aspect-preserving square pad when the "
+                         "transform is squarepad)")
 
     ps = sub.add_parser("serve", help="HTTP retrieval endpoint")
     ps.add_argument("gallery", type=str, help="GalleryIndex .npz path")
@@ -79,6 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["float32", "bfloat16", "int8"])
     ps.add_argument("--transform", type=str, default=None,
                     choices=["squarepad", "plain"])
+    ps.add_argument("--num_classes", type=int, default=None)
+    ps.add_argument("--conv_input", action="store_true", default=None)
     ps.add_argument("--host", type=str, default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8321)
     return p
@@ -100,7 +110,21 @@ def _collect_images(specs: list[str]) -> list[Path]:
     return out
 
 
-def _decode(paths: list[Path], host_size: int | None):
+def _square_pad_pil(im):
+    """Reference SquarePad on host: pad to square with 255 around the
+    centered image (utils/square_pad.py:29-36 semantics), preserving the
+    aspect ratio before any resize."""
+    from PIL import Image
+
+    w, h = im.size
+    side = max(w, h)
+    sq = Image.new("RGB", (side, side), (255, 255, 255))
+    sq.paste(im, ((side - w) // 2, (side - h) // 2))
+    return sq
+
+
+def _decode(paths: list[Path], host_size: int | None,
+            squarepad: bool = False):
     import numpy as np
     from PIL import Image
 
@@ -109,6 +133,10 @@ def _decode(paths: list[Path], host_size: int | None):
         with Image.open(p) as im:
             im = im.convert("RGB")
             if host_size:
+                # squarepad: pad at source aspect FIRST so the host resize
+                # doesn't distort (the device SquarePad then no-ops)
+                if squarepad:
+                    im = _square_pad_pil(im)
                 im = im.resize((host_size, host_size), Image.BILINEAR)
             arrs.append(np.asarray(im, np.uint8))
     shapes = {a.shape for a in arrs}
@@ -137,8 +165,16 @@ def _load_stack(args, idx):
     ckpt = args.checkpoint_path or meta.get("checkpoint") or ""
     transform = args.transform or meta.get("transform") or "squarepad"
     input_size = args.input_size or meta.get("input_size") or 224
+    # checkpoint loading needs the TRAINED architecture (classifier width,
+    # optional conv stem) — recorded in the artifact at build time; 125 =
+    # the reference's Sketchy class count as a last resort
+    num_classes = (args.num_classes if args.num_classes is not None
+                   else meta.get("num_classes") or 125)
+    conv_input = (args.conv_input if args.conv_input is not None
+                  else bool(meta.get("conv_input")))
 
-    backbone = create_model(model_name, num_classes=1)
+    backbone = create_model(model_name, num_classes=num_classes,
+                            conv_input=conv_input)
     # keep stdout a pure JSON-lines stream — loader chatter goes to stderr
     with contextlib.redirect_stdout(sys.stderr):
         variables = load_checkpoint(ckpt, backbone,
@@ -211,11 +247,7 @@ def _make_server(args):
         with Image.open(io.BytesIO(body)) as im:
             im = im.convert("RGB")
             if transform == "squarepad":
-                w, h = im.size
-                side = max(w, h)
-                sq = Image.new("RGB", (side, side), (255, 255, 255))
-                sq.paste(im, ((side - w) // 2, (side - h) // 2))
-                im = sq
+                im = _square_pad_pil(im)
             im = im.resize((input_size, input_size), Image.BILINEAR)
             return np.asarray(im, np.uint8)[None]
 
@@ -285,11 +317,12 @@ def run(args: argparse.Namespace) -> None:
     idx = GalleryIndex.load(args.gallery)
     paths = _collect_images(args.images)
     print(f"{len(paths)} query images", file=sys.stderr)
-    embed_fn, _, _ = _load_stack(args, idx)
+    embed_fn, transform, _ = _load_stack(args, idx)
 
     embeds = []
     for i in range(0, len(paths), args.batch_size):
-        x = _decode(paths[i:i + args.batch_size], args.host_size)
+        x = _decode(paths[i:i + args.batch_size], args.host_size,
+                    squarepad=transform == "squarepad")
         embeds.append(embed_fn(x))
     queries = np.concatenate(embeds)
 

@@ -134,7 +134,11 @@ def run(args: argparse.Namespace) -> None:
                            meta={"model": args.model_name,
                                  "checkpoint": args.checkpoint_path,
                                  "transform": args.transform,
-                                 "input_size": args.input_size})
+                                 "input_size": args.input_size,
+                                 # the gallery CLI must rebuild the SAME
+                                 # architecture to load the checkpoint
+                                 "num_classes": num_classes,
+                                 "conv_input": bool(args.conv_input)})
         gal.add(embeds["fms_poss_all"], embeds["classes_all"])
         gal.save(args.save_gallery, store_dtype=args.gallery_dtype)
         print(f"Saved {len(gal)}-item gallery index to {args.save_gallery}")

@@ -333,6 +333,8 @@ def fused_cosine_topk_pallas(
     bf16-rounded scores*; ranking differs from f32 only on near-ties
     within bf16 input rounding (~1e-2 relative on unit vectors).
     """
+    if matmul_dtype not in ("float32", "bfloat16", "int8"):
+        raise ValueError(f"unknown matmul_dtype {matmul_dtype!r}")
     q, d = queries_hat.shape
     g = gallery.shape[0]
     assert k <= t_depth * g_tile, (k, t_depth, g_tile)
@@ -493,6 +495,8 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
       for the quantized scores; measured ranking quality vs f32 is near-
       perfect on unit-norm embeddings (see PERF.md).
     """
+    if matmul_dtype not in ("float32", "bfloat16", "int8"):
+        raise ValueError(f"unknown matmul_dtype {matmul_dtype!r}")
     q, d = queries.shape
     g = gallery.shape[0]
     k = min(k, g)

@@ -36,7 +36,8 @@ import numpy as np
 from imageretrievalresearch_tpu import metrics as M
 from imageretrievalresearch_tpu.ops.retrieval import cosine_topk, l2_normalize
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 1          # raw f32 embeddings
+_FORMAT_VERSION_COMPACT = 2  # bf16 bit-view / int8+scales storage
 
 
 class GalleryIndex:
@@ -53,6 +54,7 @@ class GalleryIndex:
         self._paths: list[str] = []
         self.meta = dict(meta or {})
         self._device_gallery: jax.Array | None = None
+        self._device_classes: jax.Array | None = None
 
     # --- construction ---
 
@@ -75,6 +77,7 @@ class GalleryIndex:
         self._paths.extend(paths if paths is not None
                            else [""] * e.shape[0])
         self._device_gallery = None
+        self._device_classes = None
         return self
 
     def __len__(self) -> int:
@@ -129,13 +132,18 @@ class GalleryIndex:
             extra["scales"] = np.asarray(s)
         elif store_dtype != "float32":
             raise ValueError(f"unknown store_dtype {store_dtype!r}")
+        # compact artifacts write version 2 so pre-round-3 loaders (which
+        # only know version 1 = raw f32 embeddings) reject them loudly
+        # instead of reinterpreting bit views / int8 codes as f32
+        version = (_FORMAT_VERSION if store_dtype == "float32"
+                   else _FORMAT_VERSION_COMPACT)
         np.savez_compressed(
             path,
             embeddings=emb,
             classes=self.classes,
             paths=np.asarray(self._paths, dtype=object),
             meta=np.frombuffer(json.dumps(
-                {"version": _FORMAT_VERSION, "dim": self.dim,
+                {"version": version, "dim": self.dim,
                  "store_dtype": store_dtype, **self.meta}).encode(),
                 dtype=np.uint8),
             **extra,
@@ -145,7 +153,8 @@ class GalleryIndex:
     def load(cls, path: str | Path) -> "GalleryIndex":
         with np.load(path, allow_pickle=True) as z:
             meta = json.loads(bytes(z["meta"].tobytes()).decode())
-            if meta.pop("version") != _FORMAT_VERSION:
+            if meta.pop("version") not in (_FORMAT_VERSION,
+                                           _FORMAT_VERSION_COMPACT):
                 raise ValueError(f"unsupported gallery format in {path}")
             store_dtype = meta.pop("store_dtype", "float32")
             idx = cls(meta.pop("dim"), meta=meta)
@@ -169,6 +178,13 @@ class GalleryIndex:
         if self._device_gallery is None:
             self._device_gallery = jnp.asarray(self.embeddings)
         return self._device_gallery
+
+    def _classes_on_device(self) -> jax.Array:
+        # cached like the gallery: re-uploading (G,) classes per call costs
+        # real latency per serve request over a slow host->device link
+        if self._device_classes is None:
+            self._device_classes = jnp.asarray(self.classes)
+        return self._device_classes
 
     def query(self, queries, k: int = 150, *, method: str = "exact",
               matmul_dtype: str = "float32", mesh=None,
@@ -227,8 +243,9 @@ class GalleryIndex:
         unique classes (training_analysis.ipynb cell 2). Returns
         ``(inds, vals, classes)`` each (Q, num_unique)."""
         vals, inds, _ = self.query(queries, k=k, **kw)
+        cls_dev = self._classes_on_device()
         dedup = jax.vmap(lambda i, v: M.unique_class_dedup(
-            i, v, jnp.asarray(self.classes), num_unique=num_unique))(
+            i, v, cls_dev, num_unique=num_unique))(
             jnp.asarray(inds), jnp.asarray(vals))
         uniq_inds, uniq_vals, uniq_cls = map(np.asarray, dedup)
         return uniq_inds, uniq_vals, uniq_cls

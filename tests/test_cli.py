@@ -151,6 +151,47 @@ class TestGalleryCLI:
             assert all(0 <= i < info["items"] for i in rec["indices"])
             assert all(np.isfinite(rec["scores"]))
 
+    def test_artifact_records_architecture_and_load_stack_uses_it(
+            self, tree, tmp_path, capsys, monkeypatch):
+        """Checkpoint loading needs the trained classifier width: the
+        artifact must record num_classes/conv_input and the gallery CLI
+        must rebuild the model with them (a num_classes=1 head cannot
+        load any real checkpoint)."""
+        import json
+
+        from imageretrievalresearch_tpu.cli import gallery as G
+        from imageretrievalresearch_tpu.cli.inference import (
+            build_parser as inf_parser,
+            run as inf_run,
+        )
+        from imageretrievalresearch_tpu.retrieval import GalleryIndex
+
+        npz = str(tmp_path / "gal.npz")
+        inf_run(inf_parser().parse_args([
+            "-ip", tree, "-mn", "efficientnet_b0", "-is", "32", "-bs", "8",
+            "--save_gallery", npz,
+        ]))
+        capsys.readouterr()
+        idx = GalleryIndex.load(npz)
+        assert idx.meta["num_classes"] == 3       # synthetic tree classes
+        assert idx.meta["conv_input"] is False
+
+        import imageretrievalresearch_tpu.models as models_pkg
+        real_create = models_pkg.create_model
+        captured = {}
+
+        def spy(name, **kw):
+            captured.update(kw, model=name)
+            return real_create(name, **kw)
+
+        monkeypatch.setattr(models_pkg, "create_model", spy)
+        args = G.build_parser().parse_args(["query", npz, "x.jpg",
+                                            "-bs", "4"])
+        G._load_stack(args, idx)
+        assert captured["num_classes"] == 3
+        assert captured["conv_input"] is False
+        assert captured["model"] == "efficientnet_b0"
+
     def test_serve_endpoint(self, tree, tmp_path, capsys):
         """HTTP serving flow: build artifact -> serve -> /healthz ->
         POST /search with a raw image body."""

@@ -139,6 +139,16 @@ class TestPersistence:
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_allclose(v1, v2)
 
+    def test_load_then_extend(self, data, tmp_path):
+        q, g, c = data
+        idx = GalleryIndex(32).add(g[:200], c[:200])
+        f = tmp_path / "g.npz"
+        idx.save(f)
+        idx2 = GalleryIndex.load(f).add(g[200:], c[200:])
+        ref_vals, ref_inds = _brute_topk(q, g, 5)
+        _, inds, _ = idx2.query(q, k=5)
+        np.testing.assert_array_equal(inds, ref_inds)
+
     @pytest.mark.parametrize("store_dtype,atol", [("bfloat16", 1 / 128),
                                                   ("int8", 1 / 64)])
     def test_compact_storage_roundtrip(self, data, tmp_path, store_dtype,
@@ -187,12 +197,3 @@ class TestShardedDtype:
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_allclose(v1, v2, atol=1e-6)
 
-    def test_load_then_extend(self, data, tmp_path):
-        q, g, c = data
-        idx = GalleryIndex(32).add(g[:200], c[:200])
-        f = tmp_path / "g.npz"
-        idx.save(f)
-        idx2 = GalleryIndex.load(f).add(g[200:], c[200:])
-        ref_vals, ref_inds = _brute_topk(q, g, 5)
-        _, inds, _ = idx2.query(q, k=5)
-        np.testing.assert_array_equal(inds, ref_inds)
