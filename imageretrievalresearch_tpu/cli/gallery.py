@@ -65,8 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--num_classes", type=int, default=None,
                     help="classifier width for checkpoint loading "
                          "(default: the artifact's recorded value)")
-    pq.add_argument("--conv_input", action="store_true", default=None,
-                    help="model has the 3x3 conv+SiLU stem (default: the "
+    pq.add_argument("--conv_input", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="model has the 3x3 conv+SiLU stem; --no-conv_input "
+                         "overrides a recorded True (default: the "
                          "artifact's recorded value)")
     pq.add_argument("--host_size", type=int, default=None,
                     help="host-side decode resize; required when query "
@@ -88,7 +90,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--transform", type=str, default=None,
                     choices=["squarepad", "plain"])
     ps.add_argument("--num_classes", type=int, default=None)
-    ps.add_argument("--conv_input", action="store_true", default=None)
+    ps.add_argument("--conv_input", action=argparse.BooleanOptionalAction,
+                    default=None)
     ps.add_argument("--host", type=str, default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8321)
     return p
@@ -154,6 +157,7 @@ def _load_stack(args, idx):
     import contextlib
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from imageretrievalresearch_tpu.cli.inference import build_eval_transform
@@ -183,6 +187,18 @@ def _load_stack(args, idx):
     tfm = build_eval_transform(transform, input_size)
     jit_embed = jax.jit(lambda v, x: backbone.embed(v, x, train=False))
 
+    # fail fast on a model/artifact dim mismatch (eval_shape is free) —
+    # otherwise every request dies in an opaque XLA dot shape error
+    out = jax.eval_shape(
+        lambda v: backbone.embed(v, jnp.zeros((1, input_size, input_size, 3),
+                                              jnp.float32), train=False),
+        variables)
+    if out.shape[-1] != idx.dim:
+        raise SystemExit(
+            f"model {model_name} embeds dim {out.shape[-1]} but the gallery "
+            f"artifact was built with dim {idx.dim} — pass the matching "
+            "-mn/--model_name")
+
     def embed_fn(batch_u8):
         return np.asarray(jit_embed(variables, tfm(batch_u8)))
 
@@ -201,6 +217,7 @@ def _rank(idx, queries, args):
     else:
         vals, inds, classes = idx.query(queries, k=k, **kw)
     gpaths = idx.paths
+    has_paths = any(gpaths)      # hoisted: O(G) scan once, not per record
     records = []
     for qi in range(len(queries)):
         # dedup pads with -1/-inf when fewer than num_unique classes exist
@@ -212,7 +229,7 @@ def _rank(idx, queries, args):
             "scores": [round(float(v), 5)
                        for v, m in zip(vals[qi], keep) if m],
             "classes": [int(c) for c, m in zip(classes[qi], keep) if m],
-            "paths": [gpaths[g] for g in ginds] if any(gpaths) else None,
+            "paths": [gpaths[g] for g in ginds] if has_paths else None,
         })
     return records
 
@@ -281,16 +298,29 @@ def _make_server(args):
             try:
                 from urllib.parse import parse_qs, urlparse
                 qs = parse_qs(urlparse(self.path).query)
+                # `k` (jit-static) always runs at the server-configured
+                # value — a client-chosen k would force a fresh XLA
+                # compile per novel value (minutes each on a small host, an
+                # unbounded-recompile DoS); client k only truncates the
+                # response. num_unique is clamped to [1, server default],
+                # bounding the dedup-program variants the cache can hold.
+                k_req = max(1, min(int(qs.get("k", [args.topk])[0]),
+                                   args.topk))
+                nu_req = max(1, min(int(qs.get("num_unique",
+                                               [args.num_unique])[0]),
+                                    args.num_unique)) if args.num_unique \
+                    else 0
+                req = argparse.Namespace(
+                    topk=args.topk, num_unique=nu_req,
+                    method=args.method, matmul_dtype=args.matmul_dtype)
                 n = int(self.headers.get("Content-Length", 0))
                 x = decode_canonical(self.rfile.read(n))
-                req = argparse.Namespace(
-                    topk=int(qs.get("k", [args.topk])[0]),
-                    num_unique=int(qs.get("num_unique",
-                                          [args.num_unique])[0]),
-                    method=args.method, matmul_dtype=args.matmul_dtype)
                 with lock:             # one device computation at a time
                     queries = embed_fn(x)
                     rec = _rank(idx, queries, req)[0]
+                if not nu_req:         # raw ranking: honor client k by cut
+                    rec = {key: (v[:k_req] if isinstance(v, list) else v)
+                           for key, v in rec.items()}
                 self._json(200, rec)
             except Exception as e:     # noqa: BLE001 — report, keep serving
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})

@@ -314,10 +314,64 @@ def _int8_scores(qq, qs, gq, gs):
     return s32.astype(jnp.float32) * (qs * gs.reshape(1, -1))
 
 
+def _check_prepared(gallery, matmul_dtype, gallery_scale):
+    """A non-f32 gallery dtype signals a PRE-PREPARED gallery (bf16 =
+    already L2-normalized + cast; int8 = already normalized + per-row
+    quantized, scales required). Enforce mode/dtype agreement so a
+    prepared gallery can't silently score with the wrong arithmetic."""
+    if gallery.dtype == jnp.bfloat16 and matmul_dtype != "bfloat16":
+        raise ValueError("bfloat16 (pre-normalized) gallery requires "
+                         "matmul_dtype='bfloat16'")
+    if gallery.dtype == jnp.int8:
+        if matmul_dtype != "int8":
+            raise ValueError("int8 (pre-quantized) gallery requires "
+                             "matmul_dtype='int8'")
+        if gallery_scale is None:
+            raise ValueError("int8 gallery requires gallery_scale (G, 1)")
+
+
+def _prepare_gallery(gallery, matmul_dtype, gallery_scale=None):
+    """Normalize/quantize a gallery into the form the score arithmetic
+    consumes (pass-through for already-prepared inputs). Returns
+    ``(prepared, scale_or_None)``."""
+    if matmul_dtype == "int8":
+        if gallery.dtype == jnp.int8:
+            return gallery, gallery_scale
+        return quantize_rows_int8(l2_normalize(gallery))
+    if matmul_dtype == "bfloat16":
+        if gallery.dtype == jnp.bfloat16:
+            return gallery, None
+        return l2_normalize(gallery).astype(jnp.bfloat16), None
+    return l2_normalize(gallery), None
+
+
+def _scores_prepared(q_hat, g_prep, g_scale, matmul_dtype):
+    if matmul_dtype == "int8":
+        qq, qs = quantize_rows_int8(q_hat)
+        return _int8_scores(qq, qs, g_prep, g_scale)
+    if matmul_dtype == "bfloat16":
+        return jax.lax.dot_general(
+            q_hat.astype(jnp.bfloat16), g_prep,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return q_hat @ g_prep.T
+
+
+def dense_scores(q_hat, gallery, matmul_dtype, gallery_scale=None):
+    """The ONE definition of the dense score arithmetic per matmul_dtype —
+    used by the dense ranking path, the certificate-repair path, and the
+    sharded per-shard fallback. It must match the fused kernels exactly
+    (the lax.cond fallback contract); accepts raw f32 or pre-prepared
+    (bf16 normalized / int8 quantized + scales) galleries."""
+    g_prep, gs = _prepare_gallery(gallery, matmul_dtype, gallery_scale)
+    return _scores_prepared(q_hat, g_prep, gs, matmul_dtype)
+
+
 def fused_cosine_topk_pallas(
         queries_hat: jax.Array, gallery: jax.Array, k: int,
         *, q_tile: int = 256, g_tile: int = 512, t_depth: int = 6,
-        matmul_dtype: str = "float32", interpret: bool = False
+        matmul_dtype: str = "float32", gallery_scale: jax.Array | None = None,
+        interpret: bool = False
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(Q, D) normalized queries x (G, D) raw gallery -> exact top-k
     ``(vals, inds, ok)`` with per-row exactness certificate ``ok``.
@@ -335,6 +389,7 @@ def fused_cosine_topk_pallas(
     """
     if matmul_dtype not in ("float32", "bfloat16", "int8"):
         raise ValueError(f"unknown matmul_dtype {matmul_dtype!r}")
+    _check_prepared(gallery, matmul_dtype, gallery_scale)
     q, d = queries_hat.shape
     g = gallery.shape[0]
     assert k <= t_depth * g_tile, (k, t_depth, g_tile)
@@ -373,8 +428,15 @@ def fused_cosine_topk_pallas(
     )
     if int8:
         qq, qs = quantize_rows_int8(qh)
-        gq, gs = quantize_rows_int8(
-            jnp.pad(l2_normalize(gallery), ((0, gp - g), (0, 0))))
+        if gallery.dtype == jnp.int8:
+            # pre-quantized (serving-resident) gallery: zero pad codes,
+            # pad scales with anything — pad rows are masked by g_real
+            gq = jnp.pad(gallery, ((0, gp - g), (0, 0)))
+            gs = jnp.pad(gallery_scale.astype(jnp.float32),
+                         ((0, gp - g), (0, 0)))
+        else:
+            gq, gs = quantize_rows_int8(
+                jnp.pad(l2_normalize(gallery), ((0, gp - g), (0, 0))))
         kernel = functools.partial(_fused_topk_kernel_int8, k=k,
                                    t_depth=t_depth, g_real=g)
         vals, inds, ok = pl.pallas_call(
@@ -398,7 +460,10 @@ def fused_cosine_topk_pallas(
         )(qq, gq, qs, gs)
         return vals[:q], inds[:q], ok[:q, 0]
     if bf16:
-        g_hat = jnp.pad(l2_normalize(gallery), ((0, gp - g), (0, 0)))
+        if gallery.dtype == jnp.bfloat16:   # pre-normalized serving form
+            g_hat = jnp.pad(gallery, ((0, gp - g), (0, 0)))
+        else:
+            g_hat = jnp.pad(l2_normalize(gallery), ((0, gp - g), (0, 0)))
         kernel = functools.partial(_fused_topk_kernel_bf16, k=k,
                                    t_depth=t_depth, g_real=g)
         vals, inds, ok = pl.pallas_call(
@@ -461,7 +526,9 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
                 *, query_block: int = 512, use_pallas: bool = False,
                 interpret: bool = False, method: str = "exact",
                 recall_target: float = 0.95,
-                matmul_dtype: str = "float32") -> tuple[jax.Array, jax.Array]:
+                matmul_dtype: str = "float32",
+                gallery_scale: jax.Array | None = None
+                ) -> tuple[jax.Array, jax.Array]:
     """Top-k cosine retrieval: (Q, D) × (G, D) -> (vals, inds) each (Q, k).
 
     The compiled replacement for the reference's per-query loop. Methods:
@@ -497,6 +564,9 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
     """
     if matmul_dtype not in ("float32", "bfloat16", "int8"):
         raise ValueError(f"unknown matmul_dtype {matmul_dtype!r}")
+    _check_prepared(gallery, matmul_dtype, gallery_scale)
+    if use_pallas and gallery.dtype != jnp.float32:
+        raise ValueError("use_pallas scores need a raw f32 gallery")
     q, d = queries.shape
     g = gallery.shape[0]
     k = min(k, g)
@@ -513,9 +583,9 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
         if use_pallas:
             g_for_scores = gallery.astype(jnp.float32)
         else:
-            g_for_scores = l2_normalize(gallery)
-        if matmul_dtype == "int8" and not use_pallas:
-            gq_d, gs_d = quantize_rows_int8(g_for_scores)
+            # prepare once, outside the query-block loop
+            g_prep, gs_prep = _prepare_gallery(gallery, matmul_dtype,
+                                               gallery_scale)
 
         qb = min(query_block, _round_up(q, 8))
         qp = _round_up(q, qb)
@@ -526,16 +596,7 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
             if use_pallas:
                 return pallas_cosine_scores(qblk, g_for_scores,
                                             interpret=interpret)
-            if matmul_dtype == "int8":
-                qq_d, qs_d = quantize_rows_int8(qblk)
-                return _int8_scores(qq_d, qs_d, gq_d, gs_d)
-            if matmul_dtype == "bfloat16":
-                return jax.lax.dot_general(
-                    qblk.astype(jnp.bfloat16),
-                    g_for_scores.astype(jnp.bfloat16),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-            return qblk @ g_for_scores.T
+            return _scores_prepared(qblk, g_prep, gs_prep, matmul_dtype)
 
         def rank_block(qblk):
             sims = scores(qblk)
@@ -552,6 +613,7 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
 
     vals, inds, ok = fused_cosine_topk_pallas(q_hat, gallery, k,
                                               matmul_dtype=matmul_dtype,
+                                              gallery_scale=gallery_scale,
                                               interpret=interpret)
 
     # Certificate repair. Row failures are rare (~1.6e-6/row for k=150,
@@ -571,21 +633,7 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
         # surplus slots harmlessly re-rank row 0)
         _, rows = jax.lax.top_k(bad, RETRY)
         sub = q_hat[rows]                                # (RETRY, D)
-        if use_pallas:
-            gal = gallery.astype(jnp.float32)
-            sims = pallas_cosine_scores(sub, gal, interpret=interpret)
-        elif matmul_dtype == "int8":
-            qq_r, qs_r = quantize_rows_int8(sub)
-            gq_r, gs_r = quantize_rows_int8(l2_normalize(gallery))
-            sims = _int8_scores(qq_r, qs_r, gq_r, gs_r)
-        elif matmul_dtype == "bfloat16":
-            sims = jax.lax.dot_general(
-                sub.astype(jnp.bfloat16),
-                l2_normalize(gallery).astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        else:
-            sims = sub @ l2_normalize(gallery).T
+        sims = dense_scores(sub, gallery, matmul_dtype, gallery_scale)
         rvals, rinds = chunked_topk(sims, k)
         keep = (jnp.arange(RETRY) < n_bad)[:, None]
         return (vals.at[rows].set(jnp.where(keep, rvals, vals[rows])),

@@ -18,6 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from imageretrievalresearch_tpu.ops.retrieval import (
     _fused_eligible,
     chunked_topk,
+    dense_scores,
     fused_cosine_topk_pallas,
     l2_normalize,
 )
@@ -54,25 +55,9 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
         (jax.default_backend() == "tpu" or interpret)
         and _fused_eligible(q, shard, d, k_local, 512, 6))
 
-    def dense_sims(q_hat, g_local):
-        if matmul_dtype == "int8":
-            from imageretrievalresearch_tpu.ops.retrieval import (
-                _int8_scores,
-                quantize_rows_int8,
-            )
-            qq, qs = quantize_rows_int8(q_hat)
-            gq, gs = quantize_rows_int8(l2_normalize(g_local))
-            return _int8_scores(qq, qs, gq, gs)
-        if matmul_dtype == "bfloat16":
-            return jax.lax.dot_general(
-                q_hat.astype(jnp.bfloat16),
-                l2_normalize(g_local).astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        return q_hat @ l2_normalize(g_local).T
-
     def local_rank(q_hat, g_local):
-        # g_local: (shard, D) on each device
+        # g_local: (shard, D) on each device; score arithmetic shared with
+        # the single-device paths via ops.retrieval.dense_scores
         if fused:
             vals, inds, ok = fused_cosine_topk_pallas(
                 q_hat, g_local, k_local, matmul_dtype=matmul_dtype,
@@ -80,11 +65,12 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
             vals, inds = jax.lax.cond(
                 jnp.all(ok == 1),
                 lambda _: (vals, inds),
-                lambda _: tuple(chunked_topk(dense_sims(q_hat, g_local),
-                                             k_local)),
+                lambda _: tuple(chunked_topk(
+                    dense_scores(q_hat, g_local, matmul_dtype), k_local)),
                 None)
         else:
-            vals, inds = chunked_topk(dense_sims(q_hat, g_local), k_local)
+            vals, inds = chunked_topk(
+                dense_scores(q_hat, g_local, matmul_dtype), k_local)
         # localize -> globalize indices by shard offset
         offset = jax.lax.axis_index(axis_name) * shard
         return vals, inds + offset

@@ -40,6 +40,17 @@ _FORMAT_VERSION = 1          # raw f32 embeddings
 _FORMAT_VERSION_COMPACT = 2  # bf16 bit-view / int8+scales storage
 
 
+def _np_quantize_rows_int8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side twin of ops.retrieval.quantize_rows_int8 (same f32
+    arithmetic, numpy's round is also half-to-even) — avoids shipping the
+    full f32 gallery over a slow host->device link just to quantize."""
+    x = np.asarray(x, np.float32)
+    scale = np.maximum(np.abs(x).max(axis=1, keepdims=True),
+                       np.float32(1e-12)) / np.float32(127.0)
+    codes = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+    return codes, scale.astype(np.float32)
+
+
 class GalleryIndex:
     """An append-only gallery of L2-normalized embeddings with labels.
 
@@ -53,7 +64,10 @@ class GalleryIndex:
         self._classes: list[np.ndarray] = []
         self._paths: list[str] = []
         self.meta = dict(meta or {})
-        self._device_gallery: jax.Array | None = None
+        # per-matmul_dtype prepared device gallery: {"float32": arr,
+        # "bfloat16": arr, "int8": (codes, scales)} — only the requested
+        # form is resident, so int8 serving really holds 4x items/chip
+        self._device_gallery: dict = {}
         self._device_classes: jax.Array | None = None
 
     # --- construction ---
@@ -76,7 +90,7 @@ class GalleryIndex:
         self._classes.append(c)
         self._paths.extend(paths if paths is not None
                            else [""] * e.shape[0])
-        self._device_gallery = None
+        self._device_gallery = {}
         self._device_classes = None
         return self
 
@@ -124,12 +138,7 @@ class GalleryIndex:
             import ml_dtypes
             emb = emb.astype(ml_dtypes.bfloat16).view(np.uint16)
         elif store_dtype == "int8":
-            from imageretrievalresearch_tpu.ops.retrieval import (
-                quantize_rows_int8,
-            )
-            q, s = quantize_rows_int8(jnp.asarray(emb))
-            emb = np.asarray(q)
-            extra["scales"] = np.asarray(s)
+            emb, extra["scales"] = _np_quantize_rows_int8(emb)
         elif store_dtype != "float32":
             raise ValueError(f"unknown store_dtype {store_dtype!r}")
         # compact artifacts write version 2 so pre-round-3 loaders (which
@@ -174,10 +183,25 @@ class GalleryIndex:
 
     # --- querying ---
 
-    def _gallery_on_device(self) -> jax.Array:
-        if self._device_gallery is None:
-            self._device_gallery = jnp.asarray(self.embeddings)
-        return self._device_gallery
+    def _gallery_on_device(self, matmul_dtype: str = "float32"):
+        """The device-resident gallery in the serving form the query
+        arithmetic consumes — prepared ONCE per dtype on host (numpy) and
+        uploaded in its compact form (int8: quarter, bf16: half the f32
+        bytes over the host->device link), then cached. Embeddings are
+        already L2-normalized at ingest."""
+        if matmul_dtype not in self._device_gallery:
+            emb = self.embeddings
+            if matmul_dtype == "int8":
+                codes, scales = _np_quantize_rows_int8(emb)
+                self._device_gallery[matmul_dtype] = (
+                    jnp.asarray(codes), jnp.asarray(scales))
+            elif matmul_dtype == "bfloat16":
+                import ml_dtypes
+                self._device_gallery[matmul_dtype] = jnp.asarray(
+                    emb.astype(ml_dtypes.bfloat16))
+            else:
+                self._device_gallery[matmul_dtype] = jnp.asarray(emb)
+        return self._device_gallery[matmul_dtype]
 
     def _classes_on_device(self) -> jax.Array:
         # cached like the gallery: re-uploading (G,) classes per call costs
@@ -204,35 +228,44 @@ class GalleryIndex:
         if not len(self):
             raise ValueError("empty gallery")
         q = jnp.asarray(np.asarray(queries, dtype=np.float32))
-        g = self._gallery_on_device()
         k = min(k, len(self))
-        if mesh is not None:
-            from imageretrievalresearch_tpu.parallel.gallery import (
-                sharded_cosine_topk,
-            )
-            n_dev = mesh.shape["data"]
-            pad = (-len(self)) % n_dev
-            if pad:
-                # zero pad rows score cosine 0, which can outrank real rows
-                # with negative similarity — over-query by the pad count,
-                # then drop pad indices: the global top-(k+pad) contains at
-                # least k real rows
-                g = jnp.pad(g, ((0, pad), (0, 0)))
-            kk = min(k + pad, g.shape[0])
-            vals, inds = sharded_cosine_topk(q, g, kk, mesh,
-                                             matmul_dtype=matmul_dtype,
-                                             interpret=interpret)
-            if pad:
-                vals = jnp.where(inds < len(self), vals, -jnp.inf)
-                order = jnp.argsort(-vals, axis=1, stable=True)[:, :k]
-                vals = jnp.take_along_axis(vals, order, axis=1)
-                inds = jnp.take_along_axis(inds, order, axis=1)
-            else:
-                vals, inds = vals[:, :k], inds[:, :k]
-        else:
+        if mesh is None:
+            # single-device: query against the compact prepared form (only
+            # that form is device-resident — the whole point of int8/bf16)
+            prepared = self._gallery_on_device(matmul_dtype)
+            g, g_scale = (prepared if isinstance(prepared, tuple)
+                          else (prepared, None))
             vals, inds = cosine_topk(q, g, k, method=method,
                                      matmul_dtype=matmul_dtype,
+                                     gallery_scale=g_scale,
                                      interpret=interpret)
+            vals, inds = np.asarray(vals), np.asarray(inds)
+            return vals, inds, self.classes[inds]
+        # mesh path: the raw f32 gallery is sharded across devices (each
+        # shard prepares its dtype form locally inside the shard_map)
+        from imageretrievalresearch_tpu.parallel.gallery import (
+            sharded_cosine_topk,
+        )
+        g = self._gallery_on_device()
+        n_dev = mesh.shape["data"]
+        pad = (-len(self)) % n_dev
+        if pad:
+            # zero pad rows score cosine 0, which can outrank real rows
+            # with negative similarity — over-query by the pad count,
+            # then drop pad indices: the global top-(k+pad) contains at
+            # least k real rows
+            g = jnp.pad(g, ((0, pad), (0, 0)))
+        kk = min(k + pad, g.shape[0])
+        vals, inds = sharded_cosine_topk(q, g, kk, mesh,
+                                         matmul_dtype=matmul_dtype,
+                                         interpret=interpret)
+        if pad:
+            vals = jnp.where(inds < len(self), vals, -jnp.inf)
+            order = jnp.argsort(-vals, axis=1, stable=True)[:, :k]
+            vals = jnp.take_along_axis(vals, order, axis=1)
+            inds = jnp.take_along_axis(inds, order, axis=1)
+        else:
+            vals, inds = vals[:, :k], inds[:, :k]
         vals, inds = np.asarray(vals), np.asarray(inds)
         return vals, inds, self.classes[inds]
 

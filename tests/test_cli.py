@@ -238,6 +238,17 @@ class TestGalleryCLI:
             assert len(set(rec["classes"])) == 2
             assert all(0 <= i < health["items"] for i in rec["indices"])
 
+            # client k/num_unique are CLAMPED to the server config (k is a
+            # jit-static arg — honoring arbitrary client k would let one
+            # client force unbounded recompiles); oversized values must not
+            # change the compiled program, just the response
+            big = urllib.request.Request(
+                base + "/search?k=9999&num_unique=50",
+                data=open(photo, "rb").read(), method="POST")
+            with urllib.request.urlopen(big, timeout=120) as r:
+                rec2 = json.loads(r.read())
+            assert len(rec2["indices"]) <= 2   # clamped to server config
+
             # malformed body -> structured 400, server stays up
             bad = urllib.request.Request(base + "/search", data=b"not-an-img",
                                          method="POST")

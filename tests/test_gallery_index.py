@@ -186,6 +186,59 @@ class TestPersistence:
             idx.save(tmp_path / "x.npz", store_dtype="float16")
 
 
+class TestPreparedGallery:
+    def test_int8_query_uses_compact_resident_form(self, data):
+        """The serving point of int8: only (codes, scales) live on device,
+        and querying them ranks the same as quantize-at-query-time."""
+        from imageretrievalresearch_tpu.ops.retrieval import cosine_topk
+
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        v1, i1, _ = idx.query(q, k=10, matmul_dtype="int8")
+        cached = idx._device_gallery["int8"]
+        assert isinstance(cached, tuple)
+        assert cached[0].dtype == jnp.int8
+        assert "float32" not in idx._device_gallery  # f32 copy NOT resident
+        # parity with the quantize-from-raw path
+        v2, i2 = cosine_topk(jnp.asarray(q), jnp.asarray(idx.embeddings),
+                             10, matmul_dtype="int8")
+        np.testing.assert_array_equal(i1, np.asarray(i2))
+        np.testing.assert_allclose(v1, np.asarray(v2), atol=1e-6)
+
+    def test_bf16_query_uses_compact_resident_form(self, data):
+        from imageretrievalresearch_tpu.ops.retrieval import cosine_topk
+
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        v1, i1, _ = idx.query(q, k=10, matmul_dtype="bfloat16")
+        assert idx._device_gallery["bfloat16"].dtype == jnp.bfloat16
+        v2, i2 = cosine_topk(jnp.asarray(q), jnp.asarray(idx.embeddings),
+                             10, matmul_dtype="bfloat16")
+        np.testing.assert_array_equal(i1, np.asarray(i2))
+
+    def test_prepared_dtype_mode_mismatch_raises(self, data):
+        from imageretrievalresearch_tpu.ops.retrieval import cosine_topk
+
+        q, g, c = data
+        gb = jnp.asarray(g).astype(jnp.bfloat16)
+        with pytest.raises(ValueError, match="bfloat16"):
+            cosine_topk(jnp.asarray(q), gb, 5)          # f32 mode
+        gi = jnp.zeros((8, 32), jnp.int8)
+        with pytest.raises(ValueError, match="gallery_scale"):
+            cosine_topk(jnp.asarray(q), gi, 5, matmul_dtype="int8")
+
+    def test_add_invalidates_prepared_cache(self, data):
+        q, g, c = data
+        idx = GalleryIndex(32).add(g[:100], c[:100])
+        idx.query(q, k=5, matmul_dtype="int8")
+        assert idx._device_gallery
+        idx.add(g[100:], c[100:])
+        assert not idx._device_gallery
+        _, i2, _ = idx.query(q, k=5)
+        ref_vals, ref_inds = _brute_topk(q, g, 5)
+        np.testing.assert_array_equal(i2, ref_inds)
+
+
 class TestShardedDtype:
     def test_sharded_bf16_matches_single_device_bf16(self, data):
         q, g, c = data
