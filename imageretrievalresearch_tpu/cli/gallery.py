@@ -8,6 +8,10 @@ artifact, embed ad-hoc query images, rank on device, print results.
 
 Subcommands:
 
+- ``build``  — embed a class-per-subfolder image directory into a new
+  artifact (classes = subfolder names, per-item paths recorded, compact
+  ``--gallery_dtype`` storage). The Sketchy-evaluation flow instead uses
+  ``cli.inference --save_gallery`` (dataset splits + metrics).
 - ``info``   — print an artifact's size / dim / metadata.
 - ``query``  — embed image files (or a directory) with the artifact's
   recorded model + transform and print per-query rankings as JSON lines.
@@ -33,6 +37,26 @@ _IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="GalleryIndex serving CLI")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    pb = sub.add_parser("build", help="embed an image tree into an artifact")
+    pb.add_argument("gallery", type=str, help="output .npz path")
+    pb.add_argument("images", type=str,
+                    help="directory of class subfolders of images")
+    pb.add_argument("-cp", "--checkpoint_path", type=str, default="")
+    pb.add_argument("-mn", "--model_name", type=str,
+                    default="efficientnet_b3a")
+    pb.add_argument("-is", "--input_size", type=int, default=224)
+    pb.add_argument("-bs", "--batch_size", type=int, default=64)
+    pb.add_argument("--transform", type=str, default="squarepad",
+                    choices=["squarepad", "plain"])
+    pb.add_argument("--num_classes", type=int, default=None,
+                    help="classifier width for checkpoint loading "
+                         "(default: the number of subfolders)")
+    pb.add_argument("--conv_input", action=argparse.BooleanOptionalAction,
+                    default=False)
+    pb.add_argument("--host_size", type=int, default=None)
+    pb.add_argument("--gallery_dtype", type=str, default="float32",
+                    choices=["float32", "bfloat16", "int8"])
 
     pi = sub.add_parser("info", help="describe a gallery artifact")
     pi.add_argument("gallery", type=str, help="GalleryIndex .npz path")
@@ -150,10 +174,10 @@ def _decode(paths: list[Path], host_size: int | None,
     return np.stack(arrs)
 
 
-def _load_stack(args, idx):
-    """Resolve model/transform from args + the artifact's recorded meta and
-    return ``(embed_fn, transform_name, input_size)`` with the model
-    resident. ``embed_fn(uint8_batch) -> (N, dim) np.ndarray``."""
+def _load_stack(args, idx=None):
+    """Resolve model/transform from args + (optionally) an artifact's
+    recorded meta and return ``(embed_fn, transform_name, input_size)``
+    with the model resident. ``embed_fn(uint8_batch) -> (N, dim)``."""
     import contextlib
 
     import jax
@@ -164,7 +188,7 @@ def _load_stack(args, idx):
     from imageretrievalresearch_tpu.models import create_model
     from imageretrievalresearch_tpu.models.convert import load_checkpoint
 
-    meta = idx.meta
+    meta = idx.meta if idx is not None else {}
     model_name = args.model_name or meta.get("model") or "efficientnet_b3a"
     ckpt = args.checkpoint_path or meta.get("checkpoint") or ""
     transform = args.transform or meta.get("transform") or "squarepad"
@@ -193,7 +217,7 @@ def _load_stack(args, idx):
         lambda v: backbone.embed(v, jnp.zeros((1, input_size, input_size, 3),
                                               jnp.float32), train=False),
         variables)
-    if out.shape[-1] != idx.dim:
+    if idx is not None and out.shape[-1] != idx.dim:
         raise SystemExit(
             f"model {model_name} embeds dim {out.shape[-1]} but the gallery "
             f"artifact was built with dim {idx.dim} — pass the matching "
@@ -202,9 +226,52 @@ def _load_stack(args, idx):
     def embed_fn(batch_u8):
         return np.asarray(jit_embed(variables, tfm(batch_u8)))
 
-    print(f"gallery: {len(idx)} items, dim {idx.dim}, model {model_name}, "
-          f"transform {transform}@{input_size}", file=sys.stderr)
+    tag = (f"gallery: {len(idx)} items, dim {idx.dim}, "
+           if idx is not None else "")
+    print(f"{tag}model {model_name}, transform {transform}@{input_size}",
+          file=sys.stderr)
     return embed_fn, transform, input_size
+
+
+def _build(args) -> None:
+    """Embed a class-per-subfolder image tree into a serving artifact."""
+    import numpy as np
+
+    from imageretrievalresearch_tpu.retrieval import GalleryIndex
+
+    root = Path(args.images)
+    class_dirs = sorted(d for d in root.iterdir() if d.is_dir())
+    if not class_dirs:
+        raise SystemExit(f"no class subfolders under {root}")
+    if args.num_classes is None:
+        args.num_classes = len(class_dirs)
+    embed_fn, transform, input_size = _load_stack(args)
+
+    idx = None
+    for ci, cdir in enumerate(class_dirs):
+        paths = [p for p in sorted(cdir.rglob("*"))
+                 if p.suffix.lower() in _IMG_EXTS]
+        for i in range(0, len(paths), args.batch_size):
+            chunk = paths[i:i + args.batch_size]
+            x = _decode(chunk, args.host_size,
+                        squarepad=transform == "squarepad")
+            emb = embed_fn(x)
+            if idx is None:
+                idx = GalleryIndex(emb.shape[1], meta={
+                    "model": args.model_name,
+                    "checkpoint": args.checkpoint_path,
+                    "transform": transform, "input_size": input_size,
+                    "num_classes": args.num_classes,
+                    "conv_input": bool(args.conv_input),
+                    "class_names": [d.name for d in class_dirs]})
+            idx.add(emb, np.full(len(chunk), ci, np.int32),
+                    paths=[str(p) for p in chunk])
+    if idx is None:
+        raise SystemExit(f"no images found under {root}")
+    idx.save(args.gallery, store_dtype=args.gallery_dtype)
+    print(f"built {len(idx)}-item gallery ({len(class_dirs)} classes, "
+          f"dim {idx.dim}, {args.gallery_dtype}) -> {args.gallery}",
+          file=sys.stderr)
 
 
 def _rank(idx, queries, args):
@@ -337,6 +404,9 @@ def run(args: argparse.Namespace) -> None:
                           "classes": int(idx.classes.max()) + 1
                           if len(idx) else 0,
                           "meta": idx.meta}, indent=2))
+        return
+    if args.cmd == "build":
+        _build(args)
         return
     if args.cmd == "serve":
         _serve(args)

@@ -192,6 +192,43 @@ class TestGalleryCLI:
         assert captured["conv_input"] is False
         assert captured["model"] == "efficientnet_b0"
 
+    def test_build_from_image_tree_records_paths_and_classes(
+            self, tree, tmp_path, capsys):
+        """`gallery build` on a class-per-subfolder tree: classes from the
+        folder names, per-item paths recorded (so query results carry
+        them), compact storage honored."""
+        import json
+
+        from imageretrievalresearch_tpu.cli.gallery import (
+            build_parser,
+            run,
+        )
+
+        photo_root = tree + "/photo/tx_000000000000"
+        npz = str(tmp_path / "built.npz")
+        run(build_parser().parse_args(
+            ["build", npz, photo_root, "-mn", "efficientnet_b0",
+             "-is", "32", "-bs", "8", "--gallery_dtype", "bfloat16"]))
+        capsys.readouterr()
+
+        run(build_parser().parse_args(["info", npz]))
+        info = json.loads(capsys.readouterr().out)
+        assert info["items"] == 24 and info["classes"] == 3
+        assert info["meta"]["class_names"] == ["cat0", "cat1", "cat2"]
+        assert info["meta"]["num_classes"] == 3
+
+        import glob
+        photos = sorted(glob.glob(photo_root + "/*/*"))[:2]
+        run(build_parser().parse_args(
+            ["query", npz, *photos, "-bs", "4", "-k", "24",
+             "--num_unique", "2"]))
+        lines = [json.loads(l) for l in
+                 capsys.readouterr().out.strip().splitlines()]
+        assert len(lines) == 2
+        for rec in lines:
+            assert rec["paths"] is not None
+            assert all(p.startswith(photo_root) for p in rec["paths"])
+
     def test_serve_endpoint(self, tree, tmp_path, capsys):
         """HTTP serving flow: build artifact -> serve -> /healthz ->
         POST /search with a raw image body."""
