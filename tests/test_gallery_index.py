@@ -239,6 +239,27 @@ class TestPreparedGallery:
         np.testing.assert_array_equal(i2, ref_inds)
 
 
+class TestQuantizerTwins:
+    def test_np_and_jnp_quantizers_agree_bitwise(self):
+        """GalleryIndex prepares/saves with the numpy quantizer while the
+        query path may quantize with the jnp one — they must agree exactly
+        (both f32 arithmetic with round-half-to-even)."""
+        from imageretrievalresearch_tpu.ops.retrieval import (
+            quantize_rows_int8,
+        )
+        from imageretrievalresearch_tpu.retrieval.index import (
+            _np_quantize_rows_int8,
+        )
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(64, 96)).astype(np.float32)
+        x[0] = 0.0                       # degenerate zero row
+        x[1] = 127.5 / 127.0             # values landing on .5 rounding ties
+        nq, ns = _np_quantize_rows_int8(x)
+        jq, js = quantize_rows_int8(jnp.asarray(x))
+        np.testing.assert_array_equal(nq, np.asarray(jq))
+        np.testing.assert_array_equal(ns, np.asarray(js))
+
+
 class TestShardedDtype:
     def test_sharded_bf16_matches_single_device_bf16(self, data):
         q, g, c = data
