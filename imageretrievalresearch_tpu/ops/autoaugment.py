@@ -26,7 +26,6 @@ these per-sample in Python DataLoader workers (SURVEY.md hard part #5).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -76,10 +76,15 @@ class RetrievalEngine:
 
     # --- ranking ---
 
-    def search(self, queries: jax.Array, gallery: jax.Array, k: int = 150
+    def search(self, queries: jax.Array, gallery: jax.Array, k: int = 150,
+               *, matmul_dtype: str = "float32"
                ) -> tuple[np.ndarray, np.ndarray]:
+        """Rank ``gallery`` for each query (``matmul_dtype`` selects the
+        bf16/int8 serving arithmetic — see :func:`ops.retrieval.cosine_topk`;
+        default f32 keeps reference eval parity)."""
         vals, inds = cosine_topk(jnp.asarray(queries), jnp.asarray(gallery),
                                  k, use_pallas=self.use_pallas,
+                                 matmul_dtype=matmul_dtype,
                                  interpret=self.interpret)
         return np.asarray(vals), np.asarray(inds)
 
