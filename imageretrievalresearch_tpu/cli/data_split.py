@@ -27,8 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main() -> None:
-    args = build_parser().parse_args()
+def run(args) -> None:
     from imageretrievalresearch_tpu.data import (
         data_split_original,
         data_split_sketchy,
@@ -53,6 +52,10 @@ def main() -> None:
                               policy=args.policy, split=args.split,
                               seed=args.seed)
     print(f"Split written to {out}")
+
+
+def main() -> None:
+    run(build_parser().parse_args())
 
 
 if __name__ == "__main__":

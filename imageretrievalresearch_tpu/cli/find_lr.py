@@ -1,8 +1,14 @@
 """LR-finder CLI — the reference's train/find_lr.py capability.
 
-Runs the exponential LR range test (Lightning tuner equivalent), prints the
-suggestion, then optionally trains with it and pickles test results
-(train/find_lr.py:435-457).
+Runs the exponential LR range test (Lightning tuner equivalent,
+train/find_lr.py:435-436), prints the suggestion, then optionally trains
+with it (``--train_after``): the find_lr recipe logs its validation
+``cos_sims`` through the score booster (train/find_lr.py:87-95,337) and
+pickles test results with the reference's keys (train/find_lr.py:440-457).
+
+The sweep runs the SAME fused transform+train-step dispatch the Trainer
+uses (raw uint8 loader batches are float-transformed inside the jitted
+step), so the suggested lr reflects real training arithmetic.
 """
 
 from __future__ import annotations
@@ -22,7 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def run(args: argparse.Namespace) -> None:
+def run(args: argparse.Namespace) -> dict:
+    import functools
+    import os
+
     import jax
 
     from imageretrievalresearch_tpu.config import TrainConfig
@@ -31,51 +40,74 @@ def run(args: argparse.Namespace) -> None:
         TripletLoader,
     )
     from imageretrievalresearch_tpu.models import create_model
-    from imageretrievalresearch_tpu.train import (
-        EmbedTrainState,
-        Trainer,
-        build_train_step,
-        make_optimizer,
-    )
+    from imageretrievalresearch_tpu.train import Trainer, make_optimizer
     from imageretrievalresearch_tpu.train.lr_finder import lr_find
+    from imageretrievalresearch_tpu.utils.analysis import find_lr_cos_sim_score
 
     cfg_fields = {f for f in TrainConfig.__dataclass_fields__}
     cfg = TrainConfig(**{k: v for k, v in vars(args).items()
                          if k in cfg_fields})
-    kw = dict(data_dir=cfg.ims_path, pos_policy=cfg.pos_policy,
-              neg_policy=cfg.neg_policy)
-    if cfg.split_json:
-        kw.update(trainval_json=cfg.split_json, trainval="train")
-    ds = SketchyImageDataset(**kw)
-    loader = TripletLoader(ds, cfg.batch_size, num_workers=cfg.num_workers,
-                           seed=cfg.seed, host_size=cfg.image_size)
+
+    def make_ds(split):
+        kw = dict(data_dir=cfg.ims_path, pos_policy=cfg.pos_policy,
+                  neg_policy=cfg.neg_policy)
+        if cfg.split_json:
+            kw.update(trainval_json=cfg.split_json, trainval=split)
+        return SketchyImageDataset(**kw)
+
+    def make_loader(ds, seed_off=0, drop_last=True):
+        return TripletLoader(ds, cfg.batch_size, num_workers=cfg.num_workers,
+                             seed=cfg.seed + seed_off, drop_last=drop_last,
+                             host_size=cfg.image_size)
+
+    ds = make_ds("train")
+    loader = make_loader(ds)
+    val_loader = (make_loader(make_ds("val"), 1) if cfg.split_json else None)
     backbone = create_model(cfg.model_name,
                             num_classes=ds.get_cat_length(),
                             dtype=cfg.compute_dtype)
-    trainer = Trainer(cfg, backbone, loader)
+    # reference eps/alpha for the booster (train/find_lr.py:87)
+    booster = functools.partial(find_lr_cos_sim_score, eps=5, alpha=1,
+                                mode="for_pos")
+    trainer = Trainer(cfg, backbone, loader, val_loader,
+                      metric_transforms={"cos_sims": booster})
 
     def make_state(schedule):
-        import jax.numpy as jnp
         tx = make_optimizer(cfg.optimizer_name, schedule, cfg.weight_decay)
-        sample = jnp.zeros((1, cfg.image_size, cfg.image_size, 3),
-                           dtype=cfg.compute_dtype)
-        variables = backbone.init(jax.random.key(cfg.seed), sample)
-        return EmbedTrainState.from_backbone(backbone, variables, tx)
+        return trainer.init_state(tx=tx)
 
-    step = jax.jit(build_train_step(backbone, cfg))
+    def sweep_step(state, batch, key):
+        tkey, skey = jax.random.split(key)
+        return trainer._train_step(state, batch, tkey, skey)
 
     def batches():
         for batch in loader:
-            yield trainer._prepare(batch, None)
+            yield trainer._prepare(batch)
 
-    out = lr_find(make_state, step, batches(), jax.random.key(0),
+    out = lr_find(make_state, sweep_step, batches(), jax.random.key(0),
                   min_lr=args.min_lr, max_lr=args.max_lr,
                   num_steps=args.num_lr_steps)
     print(f"Suggested lr: {out['suggestion']}")
     if args.train_after and out["suggestion"]:
         cfg.learning_rate = out["suggestion"]
-        trainer2 = Trainer(cfg, backbone, loader)
-        trainer2.fit()
+        save_name = (f"{cfg.model_name}_{cfg.optimizer_name}_"
+                     f"{cfg.learning_rate:.6g}")
+        cfg.checkpoint_dir = os.path.join(cfg.save_path, save_name)
+        trainer2 = Trainer(cfg, backbone, loader, val_loader,
+                           metric_transforms={"cos_sims": booster})
+        state, _ = trainer2.fit()
+        if cfg.split_json:
+            # reference: trainer.test on the test split, results pickled
+            # under results/ with the run name (train/find_lr.py:440-457)
+            test_loader = make_loader(make_ds("test"), 2, drop_last=False)
+            results_path = os.path.join(
+                cfg.save_path, "results", f"{save_name}_results.pickle")
+            results = trainer2.test(state, test_loader,
+                                    results_path=results_path,
+                                    score_booster=booster)
+            print(f"Results of the training are saved in {results_path}")
+            out["test_results"] = results
+    return out
 
 
 def main() -> None:

@@ -70,8 +70,14 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, backbone: Backbone,
                  train_loader, val_loader=None,
                  logger: MetricLogger | None = None,
-                 mesh=None, transform=None):
+                 mesh=None, transform=None,
+                 metric_transforms: dict | None = None):
         self.cfg = cfg
+        # post-hoc transforms applied to matching epoch validation metrics
+        # before logging/monitoring — the reference's find_lr flow logs
+        # cos_sims through its booster (train/find_lr.py:87-95,337) while
+        # the other four recipes log it raw (train/train.py:370)
+        self.metric_transforms = dict(metric_transforms or {})
         self.backbone = backbone
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -149,7 +155,10 @@ class Trainer:
     # --- state ---
 
     def init_state(self, rng: jax.Array | None = None,
-                   sample_shape: tuple | None = None) -> EmbedTrainState:
+                   sample_shape: tuple | None = None,
+                   tx=None) -> EmbedTrainState:
+        """``tx`` overrides the configured optimizer (the lr_find sweep
+        builds states whose schedule is the sweep grid)."""
         rng = rng if rng is not None else jax.random.key(self.cfg.seed)
         shape = sample_shape or (1, self.cfg.image_size,
                                  self.cfg.image_size, 3)
@@ -161,7 +170,8 @@ class Trainer:
             sample = jnp.zeros(shape, dtype=self.cfg.compute_dtype)
             variables = self.backbone.init(rng, sample)
             state = EmbedTrainState.from_backbone(self.backbone, variables,
-                                                  self.tx)
+                                                  tx if tx is not None
+                                                  else self.tx)
         # multi-process safe: every process runs the identical seeded init
         return put_replicated(self.mesh, state)
 
@@ -203,14 +213,35 @@ class Trainer:
         agg = jax.device_get(agg)
         return state, {k: float(np.mean(v)) for k, v in agg.items()}
 
-    def eval_epoch(self, state: EmbedTrainState, loader=None) -> dict:
-        loader = loader or self.val_loader
+    def _eval_batches(self, state: EmbedTrainState, loader
+                      ) -> dict[str, list[float]]:
+        """Per-batch eval metrics, fetched once at the end (device arrays
+        accumulate on device; one transfer instead of one per step).
+
+        A final partial batch (``drop_last=False`` test loaders) whose size
+        doesn't divide the mesh runs UNSHARDED on the default device — exact
+        metrics over the real items (padding would inject duplicate gallery
+        candidates into the in-batch top-k). Costs one extra compile per
+        distinct remainder shape, i.e. at most one per loader.
+        """
+        n_dev = int(np.prod(list(self.mesh.shape.values())))
         agg: dict[str, list] = {}
         for batch in loader:
-            metrics = self._eval_step(state, self._prepare(batch))
+            n = np.asarray(jax.tree.leaves(batch)[0]).shape[0]
+            if n % n_dev == 0:
+                prepped = self._prepare(batch)
+            elif jax.process_count() == 1:
+                prepped = jax.tree.map(jnp.asarray, batch)
+            else:
+                continue  # multi-process: no global remainder protocol
+            metrics = self._eval_step(state, prepped)
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(v)   # stay on device
         agg = jax.device_get(agg)
+        return {k: [float(x) for x in v] for k, v in agg.items()}
+
+    def eval_epoch(self, state: EmbedTrainState, loader=None) -> dict:
+        agg = self._eval_batches(state, loader or self.val_loader)
         return {k: float(np.mean(v)) for k, v in agg.items()}
 
     def fit(self, state: EmbedTrainState | None = None,
@@ -239,6 +270,9 @@ class Trainer:
             epoch_metrics = dict(train_metrics)
             if self.val_loader is not None:
                 val_metrics = self.eval_epoch(state)
+                for k, f in self.metric_transforms.items():
+                    if k in val_metrics:
+                        val_metrics[k] = float(f(val_metrics[k]))
                 if not val_metrics:
                     print("[trainer] WARNING: validation loader yielded no "
                           "batches (val split smaller than batch size with "
@@ -268,16 +302,29 @@ class Trainer:
         return state, history
 
     def test(self, state: EmbedTrainState, test_loader,
-             results_path: str | None = None) -> dict:
+             results_path: str | None = None,
+             score_booster=None) -> dict:
         """Evaluate on the test loader and optionally pickle the results —
         the reference's trainer.test + pickle flow (train/find_lr.py:440-457,
-        keys test_loss/test_top3/test_top1)."""
-        metrics = self.eval_epoch(state, test_loader)
+        keys test_loss/test_top3/test_top1/test_scores). ``test_scores``
+        carries the per-batch cos_sims (each mapped through
+        ``score_booster`` when given — the find_lr cos_sim_score,
+        train/find_lr.py:87-95,337) plus their mean under
+        ``test_scores_mean``."""
+        per_batch = self._eval_batches(state, test_loader)
+
+        def mean(v):
+            return float(np.mean(v)) if v else None
+
+        scores = per_batch.get("cos_sims", [])
+        if score_booster is not None:
+            scores = [float(score_booster(s)) for s in scores]
         results = {
-            "test_loss": metrics.get("val_loss"),
-            "test_top3": metrics.get("val_top3"),
-            "test_top1": metrics.get("val_top1"),
-            "test_scores": metrics.get("cos_sims"),
+            "test_loss": mean(per_batch.get("val_loss")),
+            "test_top3": mean(per_batch.get("val_top3")),
+            "test_top1": mean(per_batch.get("val_top1")),
+            "test_scores": scores,
+            "test_scores_mean": mean(scores),
         }
         if results_path:
             import os

@@ -47,6 +47,50 @@ class TestTrainCLI:
         assert os.path.exists(os.path.join(ckpt_dir, "metrics.jsonl"))
 
 
+class TestFindLRCLI:
+    def test_sweep_train_after_and_pickled_results(self, tree, tmp_path):
+        """End-to-end `find_lr` run the way the reference uses it
+        (train/find_lr.py:435-457): LR sweep on the fused train step,
+        suggestion applied with --train_after, boosted test results
+        pickled. Round-2 regression class: the CLI wired raw uint8
+        batches into an un-fused step and crashed in _prepare."""
+        import pickle
+
+        from imageretrievalresearch_tpu.cli.data_split import (
+            build_parser as split_parser,
+            run as split_run,
+        )
+        from imageretrievalresearch_tpu.cli.find_lr import build_parser, run
+        split = str(tmp_path / "split.json")
+        split_run(split_parser().parse_args([
+            "--data_dir", tree, "--out_path", split,
+            "--layout", "sketchy", "--policy", "cat", "--no-hard_split",
+            "--split", "0.5", "0.25", "0.25"]))
+        save = str(tmp_path / "models")
+        args = build_parser().parse_args([
+            "--ims_path", tree, "--model_name", "efficientnet_b0",
+            "--batch_size", "8", "--image_size", "32",
+            "--max_epochs", "1", "--compute_dtype", "float32",
+            "--num_workers", "2", "-sp", save, "--split_json", split,
+            "--min_lr", "1e-5", "--max_lr", "1e-2", "--num_lr_steps", "5",
+            "--train_after",
+        ])
+        out = run(args)
+        assert out["suggestion"] is not None and np.isfinite(out["suggestion"])
+        assert np.all(np.isfinite(out["losses"]))
+        res = out["test_results"]
+        assert set(res) >= {"test_loss", "test_top3", "test_top1",
+                            "test_scores", "test_scores_mean"}
+        assert res["test_scores"] and all(
+            np.isfinite(s) for s in res["test_scores"])
+        # the pickled artifact exists and round-trips
+        import glob
+        pkl = glob.glob(os.path.join(save, "results", "*_results.pickle"))
+        assert len(pkl) == 1
+        with open(pkl[0], "rb") as f:
+            assert pickle.load(f)["test_scores"] == res["test_scores"]
+
+
 class TestInferenceCLI:
     def test_default_transform_matches_reference_eval_pipeline(self):
         """The CLI default must be the reference's SquarePad -> ToTensor ->
