@@ -33,6 +33,11 @@ from pathlib import Path
 
 _IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
 
+# reject absurd /search bodies before buffering them (a single huge POST
+# would otherwise exhaust host memory); 32 MB comfortably fits any real
+# query image
+_MAX_BODY_BYTES = 32 * 1024 * 1024
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="GalleryIndex serving CLI")
@@ -279,7 +284,7 @@ def _rank(idx, queries, args):
     kw = dict(method=args.method, matmul_dtype=args.matmul_dtype)
     k = min(args.topk, len(idx))
     if args.num_unique:
-        inds, vals, classes = idx.query_class_dedup(
+        vals, inds, classes = idx.query_class_dedup(
             queries, k=k, num_unique=args.num_unique, **kw)
     else:
         vals, inds, classes = idx.query(queries, k=k, **kw)
@@ -373,14 +378,23 @@ def _make_server(args):
                 # bounding the dedup-program variants the cache can hold.
                 k_req = max(1, min(int(qs.get("k", [args.topk])[0]),
                                    args.topk))
-                nu_req = max(1, min(int(qs.get("num_unique",
-                                               [args.num_unique])[0]),
-                                    args.num_unique)) if args.num_unique \
-                    else 0
+                # num_unique=0 from the client selects the raw (non-dedup)
+                # ranking even when the server default dedups — it is a
+                # single extra program (server-configured k), not an
+                # unbounded compile surface; nonzero values are clamped to
+                # [1, server default], bounding the dedup-program variants
+                nu_req = min(int(qs.get("num_unique",
+                                        [args.num_unique])[0]),
+                             args.num_unique)
+                nu_req = max(0, nu_req)
                 req = argparse.Namespace(
                     topk=args.topk, num_unique=nu_req,
                     method=args.method, matmul_dtype=args.matmul_dtype)
                 n = int(self.headers.get("Content-Length", 0))
+                if n > _MAX_BODY_BYTES:
+                    self._json(413, {"error": "body too large "
+                               f"({n} > {_MAX_BODY_BYTES} bytes)"})
+                    return
                 x = decode_canonical(self.rfile.read(n))
                 with lock:             # one device computation at a time
                     queries = embed_fn(x)

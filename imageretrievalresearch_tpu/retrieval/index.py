@@ -150,7 +150,11 @@ class GalleryIndex:
             path,
             embeddings=emb,
             classes=self.classes,
-            paths=np.asarray(self._paths, dtype=object),
+            # fixed-width unicode, NOT dtype=object: object arrays pickle,
+            # and a pickled payload in an untrusted artifact is arbitrary
+            # code execution at load (the serve/query CLIs load whatever
+            # path they're given) — this keeps load allow_pickle=False
+            paths=np.asarray(self._paths, dtype=np.str_),
             meta=np.frombuffer(json.dumps(
                 {"version": version, "dim": self.dim,
                  "store_dtype": store_dtype, **self.meta}).encode(),
@@ -160,7 +164,7 @@ class GalleryIndex:
 
     @classmethod
     def load(cls, path: str | Path) -> "GalleryIndex":
-        with np.load(path, allow_pickle=True) as z:
+        with np.load(path, allow_pickle=False) as z:
             meta = json.loads(bytes(z["meta"].tobytes()).decode())
             if meta.pop("version") not in (_FORMAT_VERSION,
                                            _FORMAT_VERSION_COMPACT):
@@ -274,11 +278,12 @@ class GalleryIndex:
                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Notebook-semantics ranking: top-k then first ``num_unique``
         unique classes (training_analysis.ipynb cell 2). Returns
-        ``(inds, vals, classes)`` each (Q, num_unique)."""
+        ``(vals, inds, classes)`` each (Q, num_unique) — the same tuple
+        order as :meth:`query`."""
         vals, inds, _ = self.query(queries, k=k, **kw)
         cls_dev = self._classes_on_device()
         dedup = jax.vmap(lambda i, v: M.unique_class_dedup(
             i, v, cls_dev, num_unique=num_unique))(
             jnp.asarray(inds), jnp.asarray(vals))
         uniq_inds, uniq_vals, uniq_cls = map(np.asarray, dedup)
-        return uniq_inds, uniq_vals, uniq_cls
+        return uniq_vals, uniq_inds, uniq_cls

@@ -330,6 +330,26 @@ class TestGalleryCLI:
                 rec2 = json.loads(r.read())
             assert len(rec2["indices"]) <= 2   # clamped to server config
 
+            # num_unique=0 selects the raw (non-dedup) ranking even though
+            # the server default dedups; client k truncates the response
+            raw = urllib.request.Request(
+                base + "/search?num_unique=0&k=3",
+                data=open(photo, "rb").read(), method="POST")
+            with urllib.request.urlopen(raw, timeout=120) as r:
+                rec3 = json.loads(r.read())
+            assert len(rec3["indices"]) == 3
+            assert rec3["scores"] == sorted(rec3["scores"], reverse=True)
+
+            # oversized Content-Length -> 413 before the body is buffered
+            import http.client
+            conn = http.client.HTTPConnection(
+                "127.0.0.1", srv.server_address[1], timeout=30)
+            conn.putrequest("POST", "/search")
+            conn.putheader("Content-Length", str(64 * 1024 * 1024))
+            conn.endheaders()
+            assert conn.getresponse().status == 413
+            conn.close()
+
             # malformed body -> structured 400, server stays up
             bad = urllib.request.Request(base + "/search", data=b"not-an-img",
                                          method="POST")

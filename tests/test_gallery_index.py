@@ -77,7 +77,7 @@ class TestQuery:
     def test_class_dedup_matches_notebook_loop(self, data):
         q, g, c = data
         idx = GalleryIndex(32).add(g, c)
-        uniq_inds, uniq_vals, uniq_cls = idx.query_class_dedup(
+        uniq_vals, uniq_inds, uniq_cls = idx.query_class_dedup(
             q, k=50, num_unique=3)
         _, ref_inds = _brute_topk(q, g, 50)
         for qi in range(q.shape[0]):
