@@ -56,7 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split_json", type=str, default=None,
                    help="train/val/test split json (see cli.data_split)")
     p.add_argument("--dataset", type=str, default="sketchy",
-                   choices=["sketchy", "original", "soft"])
+                   choices=["sketchy", "original", "soft", "imagefolder"],
+                   help="imagefolder = class-per-subfolder classification "
+                        "tree (the T5 recipe's ImageFolder surface, "
+                        "train/train_vit_crossentropy.py:50)")
+    p.add_argument("--val_fraction", type=float, default=0.2,
+                   help="imagefolder train/val holdout (reference "
+                        "random_split 80/20)")
     p.add_argument("--pos_policy", type=str, default="cat")
     p.add_argument("--neg_policy", type=str, default="except_cat")
     p.add_argument("--sketch_qry", action="store_true",
@@ -142,28 +148,44 @@ def run(args: argparse.Namespace) -> None:
         cfg = make_config(args.recipe, **explicit)
     else:
         cfg = TrainConfig(**overrides)
-    ds_cls = {"sketchy": SketchyImageDataset,
-              "original": OriginalImageDataset,
-              "soft": TripletImageDataset}[cfg.dataset]
+    if cfg.dataset == "imagefolder":
+        # T5 surface: any class-per-subfolder tree, seeded 80/20 holdout
+        # (reference ImageFolder + random_split,
+        # train/train_vit_crossentropy.py:50,59)
+        from imageretrievalresearch_tpu.data import ImageFolderDataset
 
-    def make_ds(split):
-        kw = dict(data_dir=cfg.ims_path, pos_policy=cfg.pos_policy,
-                  neg_policy=cfg.neg_policy)
-        if cfg.dataset == "sketchy" and args.sketch_qry:
-            kw["sketch_qry"] = True
-        if args.pos_return_num != 1:
-            kw["pos_return_num"] = args.pos_return_num
-        if args.neg_return_num != 1:
-            kw["neg_return_num"] = args.neg_return_num
-        if cfg.split_json:
-            kw.update(trainval_json=cfg.split_json, trainval=split)
-        if args.cache:
-            kw.update(load_images=True,
-                      cache_size=args.host_size or cfg.image_size)
-        return ds_cls(**kw)
+        def make_ds(split):
+            kw = dict(data_dir=cfg.ims_path, split=split,
+                      val_fraction=cfg.val_fraction, seed=cfg.seed)
+            if args.cache:
+                kw.update(load_images=True,
+                          cache_size=args.host_size or cfg.image_size)
+            return ImageFolderDataset(**kw)
 
-    tr_ds = make_ds("train")
-    val_ds = make_ds("val") if cfg.split_json else None
+        tr_ds, val_ds = make_ds("train"), make_ds("val")
+    else:
+        ds_cls = {"sketchy": SketchyImageDataset,
+                  "original": OriginalImageDataset,
+                  "soft": TripletImageDataset}[cfg.dataset]
+
+        def make_ds(split):
+            kw = dict(data_dir=cfg.ims_path, pos_policy=cfg.pos_policy,
+                      neg_policy=cfg.neg_policy)
+            if cfg.dataset == "sketchy" and args.sketch_qry:
+                kw["sketch_qry"] = True
+            if args.pos_return_num != 1:
+                kw["pos_return_num"] = args.pos_return_num
+            if args.neg_return_num != 1:
+                kw["neg_return_num"] = args.neg_return_num
+            if cfg.split_json:
+                kw.update(trainval_json=cfg.split_json, trainval=split)
+            if args.cache:
+                kw.update(load_images=True,
+                          cache_size=args.host_size or cfg.image_size)
+            return ds_cls(**kw)
+
+        tr_ds = make_ds("train")
+        val_ds = make_ds("val") if cfg.split_json else None
     num_classes = tr_ds.get_cat_length()
     print(f"Number of train set images: {len(tr_ds)}")
     if val_ds:
@@ -179,11 +201,18 @@ def run(args: argparse.Namespace) -> None:
                                  seed=cfg.seed, host_size=host_size,
                                  use_native=args.use_native_loader,
                                  **proc_kw)
-    val_loader = (TripletLoader(val_ds, cfg.batch_size, shuffle=True,
-                                drop_last=True, num_workers=cfg.num_workers,
+    # imagefolder validation mirrors the reference's DataLoader
+    # (shuffle=False, drop_last=False, train_vit_crossentropy.py:63): eval
+    # order is deterministic and the partial final batch is scored exactly
+    # (unsharded remainder path in Trainer._eval_batches)
+    val_kw = (dict(shuffle=False, drop_last=False)
+              if cfg.dataset == "imagefolder"
+              else dict(shuffle=True, drop_last=True))
+    val_loader = (TripletLoader(val_ds, cfg.batch_size,
+                                num_workers=cfg.num_workers,
                                 seed=cfg.seed + 1, host_size=host_size,
                                 use_native=args.use_native_loader,
-                                **proc_kw)
+                                **val_kw, **proc_kw)
                   if val_ds else None)
 
     save_name = f"{cfg.model_name}_{cfg.optimizer_name}_{cfg.learning_rate}"

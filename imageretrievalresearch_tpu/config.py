@@ -49,7 +49,11 @@ class TrainConfig:
 
     # --- data ---
     split_json: str | None = None  # trainval json (train/train.py:53)
-    dataset: str = "sketchy"       # sketchy | original | soft | triple
+    dataset: str = "sketchy"       # sketchy | original | soft | triple |
+                                   # imagefolder (T5: class-per-subfolder
+                                   # tree, train/train_vit_crossentropy.py:50)
+    val_fraction: float = 0.2      # imagefolder train/val holdout
+                                   # (reference random_split 80/20, :59)
     pos_policy: str = "cat"
     neg_policy: str = "except_cat"
     num_workers: int = 8

@@ -8,6 +8,7 @@ four dataset families:
 - "original"/spec layout (reference data/original_dataset.py)
 - soft real/+sketch/ layout (reference data/softdataset.py)
 - simple class-folder photo/sketch layout (reference data/triplet_dataset.py)
+- ImageFolder classification tree (reference train/train_vit_crossentropy.py:50)
 """
 
 from imageretrievalresearch_tpu.data.splits import (
@@ -20,6 +21,7 @@ from imageretrievalresearch_tpu.data.sketchy import SketchyDataset, SketchyImage
 from imageretrievalresearch_tpu.data.original import OriginalDataset, OriginalImageDataset
 from imageretrievalresearch_tpu.data.soft import TripletDataset, TripletImageDataset
 from imageretrievalresearch_tpu.data.triple import TripleDataset
+from imageretrievalresearch_tpu.data.imagefolder import ImageFolderDataset
 from imageretrievalresearch_tpu.data.loader import TripletLoader
 
 __all__ = [
@@ -34,5 +36,6 @@ __all__ = [
     "TripletDataset",
     "TripletImageDataset",
     "TripleDataset",
+    "ImageFolderDataset",
     "TripletLoader",
 ]

@@ -108,6 +108,16 @@ class TripletLoader:
             Image.fromarray(im).resize((s, s), Image.BILINEAR))
 
     def _collate(self, items: list[dict]) -> dict:
+        if "image" in items[0]:
+            # single-image classification items (ImageFolderDataset):
+            # {'image': u8 HWC, 'label': int} -> stacked batch
+            return {
+                "image": np.stack([self._resize_host(np.asarray(i["image"]))
+                                   for i in items]),
+                "label": np.asarray([i["label"] for i in items],
+                                    dtype=np.int32),
+            }
+
         def stack(key, sub=None):
             if sub is None:
                 arrs = [self._resize_host(np.asarray(i[key])) for i in items]

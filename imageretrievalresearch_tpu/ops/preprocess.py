@@ -122,6 +122,23 @@ def build_batch_transform(spec: TransformSpec) -> Callable:
     return fn
 
 
+def build_image_transform(spec: TransformSpec) -> Callable:
+    """Fused jit transform for single-image classification batches
+    (``{'image': u8 NHWC, 'label': i32}`` from the ImageFolder loader) —
+    the T5 recipe's ``Compose([ToTensor()])`` equivalent
+    (train/train_vit_crossentropy.py:47) plus the device resize the
+    reference delegates to its pre-sized dataset."""
+
+    @jax.jit
+    def fn(batch: dict, key: jax.Array | None = None) -> dict:
+        out = {"image": _apply(spec, batch["image"], key)}
+        if "label" in batch:
+            out["label"] = batch["label"]
+        return out
+
+    return fn
+
+
 def build_triplet_transform(qry: TransformSpec, pos: TransformSpec,
                             neg: TransformSpec) -> Callable:
     """One fused jit program transforming a whole triplet batch dict.

@@ -33,11 +33,14 @@ RECIPES: dict[str, dict] = {
         only_feature_embeddings=True, only_target_labels=None,
         learning_rate=1e-5, weight_decay=1e-6, batch_size=32,
         milestones=(10, 20, 30, 40, 50)),
-    # T5 train/train_vit_crossentropy.py — plain classification,
-    # monitor val_top1
+    # T5 train/train_vit_crossentropy.py — plain classification on an
+    # ImageFolder class-per-subfolder tree (:50), seeded 80/20 train/val
+    # holdout (:59), monitor val_top1, patience 20 (:335-336)
     "train_vit_crossentropy": dict(
         model_name="swin_s3_base_224", only_feature_embeddings=None,
         only_target_labels=True, monitor="val_top1",
+        dataset="imagefolder", early_stop_patience=20,
+        learning_rate=1e-3, batch_size=32,
         milestones=(10, 20, 30, 40, 50)),
     # T6 train/find_lr.py — cos(0.3)+con(0.3)+CE with val_top1 monitor
     "find_lr": dict(model_name="rexnet_150", cos_margin=0.3, con_margin=0.3,

@@ -9,7 +9,12 @@ from imageretrievalresearch_tpu.train.train_state import (
     make_optimizer,
     multistep_lr,
 )
-from imageretrievalresearch_tpu.train.steps import build_train_step, build_eval_step
+from imageretrievalresearch_tpu.train.steps import (
+    build_classifier_eval_step,
+    build_classifier_train_step,
+    build_eval_step,
+    build_train_step,
+)
 from imageretrievalresearch_tpu.train.trainer import Trainer
 
 __all__ = [
@@ -18,5 +23,7 @@ __all__ = [
     "multistep_lr",
     "build_train_step",
     "build_eval_step",
+    "build_classifier_train_step",
+    "build_classifier_eval_step",
     "Trainer",
 ]

@@ -122,6 +122,63 @@ def build_train_step(backbone: Backbone, cfg: TrainConfig,
     return train_step
 
 
+def build_classifier_train_step(backbone: Backbone, cfg: TrainConfig,
+                                schedule=None) -> Callable:
+    """Single-image CE classification step (T5,
+    train/train_vit_crossentropy.py:180-223): one backbone pass per batch
+    ``{'image': (B,H,W,3), 'label': (B,)}``, CE over the folder classes,
+    logit top1/top3 metrics."""
+
+    def train_step(state, batch, rng):
+        rngs = {"dropout": jax.random.fold_in(rng, state.step)}
+
+        def loss_fn(params):
+            variables = {
+                k: ({"params": params[k], "batch_stats": state.batch_stats[k]}
+                    if state.batch_stats and k in state.batch_stats
+                    else {"params": params[k]})
+                for k in params}
+            _, logits, updates = backbone.features_and_logits(
+                variables, batch["image"], train=True, rngs=rngs,
+                mutable=True)
+            loss = L.cross_entropy_loss(logits, batch["label"])
+            return loss, (logits, updates)
+
+        grads, (logits, updates) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        new_batch_stats = state.batch_stats
+        if updates is not None and state.batch_stats:
+            new_batch_stats = dict(state.batch_stats)
+            new_batch_stats["net"] = updates["batch_stats"]
+        state = state.apply_gradients(grads=grads,
+                                      batch_stats=new_batch_stats)
+        tk = M.classifier_topk(logits, batch["label"], k=3)
+        metrics = {"train_loss": L.cross_entropy_loss(logits, batch["label"]),
+                   "train_top3": tk["top3"], "train_top1": tk["top1"]}
+        if schedule is not None:
+            metrics["lr"] = schedule(state.step)
+        return state, metrics
+
+    return train_step
+
+
+def build_classifier_eval_step(backbone: Backbone, cfg: TrainConfig
+                               ) -> Callable:
+    """Validation step with the reference's keys
+    (train/train_vit_crossentropy.py:265-268): val_loss + logit
+    val_top3/val_top1 — monitored metric is val_top1 (mode max)."""
+
+    def eval_step(state, batch):
+        variables = state.backbone_variables()
+        _, logits = backbone.features_and_logits(
+            variables, batch["image"], train=False, rngs=None)
+        tk = M.classifier_topk(logits, batch["label"], k=3)
+        return {"val_loss": L.cross_entropy_loss(logits, batch["label"]),
+                "val_top3": tk["top3"], "val_top1": tk["top1"]}
+
+    return eval_step
+
+
 def build_eval_step(backbone: Backbone, cfg: TrainConfig) -> Callable:
     """Returns ``eval_step(state, batch) -> metrics`` with the reference's
     validation keys (train/train.py:365-373): val_loss + per-loss components,

@@ -23,6 +23,7 @@ from imageretrievalresearch_tpu.config import TrainConfig
 from imageretrievalresearch_tpu.models.backbone import Backbone
 from imageretrievalresearch_tpu.ops.preprocess import (
     TransformSpec,
+    build_image_transform,
     build_triplet_transform,
 )
 from imageretrievalresearch_tpu.parallel.mesh import (
@@ -33,6 +34,8 @@ from imageretrievalresearch_tpu.parallel.mesh import (
     shard_batch,
 )
 from imageretrievalresearch_tpu.train.steps import (
+    build_classifier_eval_step,
+    build_classifier_train_step,
     build_eval_step,
     build_train_step,
 )
@@ -118,6 +121,10 @@ class Trainer:
         self.tx = make_optimizer(cfg.optimizer_name, self.schedule,
                                  cfg.weight_decay)
 
+        # single-image CE classification (T5 on an ImageFolder tree) swaps
+        # both the transform shape and the step builders; everything else
+        # (mesh, checkpointing, logging, early stop) is shared
+        classification = cfg.dataset == "imagefolder"
         eval_transform = transform
         if transform is None:
             spec = (TransformSpec.train_autoaugment(cfg.image_size)
@@ -125,13 +132,17 @@ class Trainer:
                     else TransformSpec.train_plain(cfg.image_size))
             spec = TransformSpec(**{**spec.__dict__,
                                     "dtype": cfg.compute_dtype})
-            transform = build_triplet_transform(spec, spec, spec)
             # evaluation is deterministic: same pipeline minus the random
             # AutoAugment stage (the reference reuses its train Compose for
             # val, which randomly augments val images — we pin eval to the
             # deterministic intent)
             espec = TransformSpec(**{**spec.__dict__, "autoaugment": False})
-            eval_transform = build_triplet_transform(espec, espec, espec)
+            if classification:
+                transform = build_image_transform(spec)
+                eval_transform = build_image_transform(espec)
+            else:
+                transform = build_triplet_transform(spec, spec, spec)
+                eval_transform = build_triplet_transform(espec, espec, espec)
         self.transform = transform
         self.eval_transform = eval_transform
 
@@ -139,8 +150,13 @@ class Trainer:
         # call per step instead of two halves the per-step host dispatch
         # work, which competes with the loader thread for CPU on small
         # hosts (PERF.md round-2 training notes)
-        base_train = build_train_step(backbone, cfg, self.schedule)
-        base_eval = build_eval_step(backbone, cfg)
+        if classification:
+            base_train = build_classifier_train_step(backbone, cfg,
+                                                     self.schedule)
+            base_eval = build_classifier_eval_step(backbone, cfg)
+        else:
+            base_train = build_train_step(backbone, cfg, self.schedule)
+            base_eval = build_eval_step(backbone, cfg)
         tf, etf = self.transform, self.eval_transform
 
         def fused_train(state, raw_batch, tkey, skey):

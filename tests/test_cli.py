@@ -47,6 +47,40 @@ class TestTrainCLI:
         assert os.path.exists(os.path.join(ckpt_dir, "metrics.jsonl"))
 
 
+class TestTrainCLIImageFolder:
+    def test_t5_recipe_on_folder_tree(self, tmp_path):
+        """The T5 recipe end-to-end: plain CE classification on a
+        class-per-subfolder tree with a seeded 80/20 holdout (reference
+        train/train_vit_crossentropy.py:50,59), val_top1 monitored from
+        logits. The val split (5 images, batch 8) exercises the exact
+        unsharded partial-batch eval path."""
+        from imageretrievalresearch_tpu.cli.train import build_parser, run
+        from imageretrievalresearch_tpu.data.synthetic import (
+            make_classfolder_tree,
+        )
+
+        photo_root, _ = make_classfolder_tree(
+            str(tmp_path / "imf"), n_classes=3, n_photos=7, n_sketches=1,
+            size=32)
+        save = str(tmp_path / "models")
+        args = build_parser().parse_args([
+            "--recipe", "train_vit_crossentropy",
+            "--ims_path", photo_root, "--model_name", "efficientnet_b0",
+            "--batch_size", "8", "--image_size", "32",
+            "--max_epochs", "1", "--compute_dtype", "float32",
+            "--num_workers", "2", "-sp", save,
+        ])
+        run(args)
+        ckpt_dir = os.path.join(save, "efficientnet_b0_Adam_0.001")
+        assert os.path.exists(os.path.join(ckpt_dir, "hparams.yaml"))
+        logged = [json.loads(l) for l in
+                  open(os.path.join(ckpt_dir, "metrics.jsonl"))]
+        keys = set().union(*(set(r) for r in logged))
+        assert {"val_loss", "val_top1", "val_top3"} <= keys
+        top1 = [r["val_top1"] for r in logged if "val_top1" in r]
+        assert top1 and all(0.0 <= v <= 1.0 for v in top1)
+
+
 class TestFindLRCLI:
     def test_sweep_train_after_and_pickled_results(self, tree, tmp_path):
         """End-to-end `find_lr` run the way the reference uses it

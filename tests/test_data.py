@@ -227,3 +227,68 @@ class TestTripletLoader:
                 break
             time.sleep(0.05)
         assert not extra, f"producer thread leaked: {extra}"
+
+
+class TestImageFolderDataset:
+    """T5's ImageFolder surface (train_vit_crossentropy.py:50,59):
+    classes = sorted subfolders, seeded 80/20 train/val holdout."""
+
+    @pytest.fixture(scope="class")
+    def folder_root(self, tmp_path_factory):
+        photo_root, _ = make_classfolder_tree(
+            str(tmp_path_factory.mktemp("imf")), n_classes=3, n_photos=5,
+            n_sketches=1, size=32)
+        return photo_root
+
+    def test_classes_and_items(self, folder_root):
+        from imageretrievalresearch_tpu.data import ImageFolderDataset
+
+        ds = ImageFolderDataset(folder_root)
+        assert ds.classes == ["class0", "class1", "class2"]
+        assert ds.get_cat_length() == 3
+        assert len(ds) == 15
+        item = ds[0]
+        assert item["image"].dtype == np.uint8
+        assert item["image"].shape == (32, 32, 3)
+        assert item["label"] == 0
+        # label matches the folder the path lives in
+        for i in range(len(ds)):
+            path, lbl = ds.samples[i]
+            assert f"class{lbl}" in path
+
+    def test_split_disjoint_seeded_and_complete(self, folder_root):
+        from imageretrievalresearch_tpu.data import ImageFolderDataset
+
+        tr = ImageFolderDataset(folder_root, split="train", seed=7)
+        va = ImageFolderDataset(folder_root, split="val", seed=7)
+        assert len(tr) == 12 and len(va) == 3   # int(15*0.8) = 12
+        tr_paths = {p for p, _ in tr.samples}
+        va_paths = {p for p, _ in va.samples}
+        assert not (tr_paths & va_paths)
+        assert len(tr_paths | va_paths) == 15
+        # seeded: same seed reproduces, different seed differs
+        tr2 = ImageFolderDataset(folder_root, split="train", seed=7)
+        assert tr.samples == tr2.samples
+        tr3 = ImageFolderDataset(folder_root, split="train", seed=8)
+        assert tr.samples != tr3.samples
+
+    def test_loader_collates_image_batches(self, folder_root):
+        from imageretrievalresearch_tpu.data import ImageFolderDataset
+
+        ds = ImageFolderDataset(folder_root)
+        dl = TripletLoader(ds, batch_size=4, num_workers=2, host_size=24,
+                           shuffle=False, drop_last=False)
+        batches = list(dl)
+        assert len(batches) == 4                 # 15 items -> 4,4,4,3
+        b = batches[0]
+        assert set(b) == {"image", "label"}
+        assert b["image"].shape == (4, 24, 24, 3)
+        assert b["image"].dtype == np.uint8
+        assert b["label"].dtype == np.int32
+        assert batches[-1]["image"].shape[0] == 3
+
+    def test_cache_roundtrip(self, folder_root):
+        from imageretrievalresearch_tpu.data import ImageFolderDataset
+
+        ds = ImageFolderDataset(folder_root, load_images=True, cache_size=16)
+        assert ds[0]["image"].shape == (16, 16, 3)
