@@ -28,6 +28,7 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
                         mesh: Mesh, *, axis_name: str = "data",
                         use_fused: bool | None = None,
                         matmul_dtype: str = "float32",
+                        gallery_scale: jax.Array | None = None,
                         interpret: bool = False
                         ) -> tuple[jax.Array, jax.Array]:
     """(Q, D) × (G, D) -> global (vals, inds) with the gallery sharded on
@@ -38,7 +39,11 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
     per-shard lax.cond dense fallback); other backends use the dense
     blocked path. ``use_fused`` overrides the auto choice;
     ``matmul_dtype`` selects the bf16/int8 serving arithmetic per shard
-    (see :func:`ops.retrieval.cosine_topk`).
+    (see :func:`ops.retrieval.cosine_topk`). The gallery may be
+    PRE-PREPARED in its compact serving form (bf16 normalized, or int8
+    codes + row-sharded ``gallery_scale`` (G, 1)) so each device only ever
+    holds its compact shard — pair with
+    :func:`parallel.mesh.put_row_sharded`.
     """
     n_dev = mesh.shape[axis_name]
     g = gallery.shape[0]
@@ -55,38 +60,45 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
         (jax.default_backend() == "tpu" or interpret)
         and _fused_eligible(q, shard, d, k_local, 512, 6))
 
-    def local_rank(q_hat, g_local):
+    def local_rank(q_hat, g_local, gs_local):
         # g_local: (shard, D) on each device; score arithmetic shared with
         # the single-device paths via ops.retrieval.dense_scores
         if fused:
             vals, inds, ok = fused_cosine_topk_pallas(
                 q_hat, g_local, k_local, matmul_dtype=matmul_dtype,
-                interpret=interpret)
+                gallery_scale=gs_local, interpret=interpret)
             vals, inds = jax.lax.cond(
                 jnp.all(ok == 1),
                 lambda _: (vals, inds),
                 lambda _: tuple(chunked_topk(
-                    dense_scores(q_hat, g_local, matmul_dtype), k_local)),
+                    dense_scores(q_hat, g_local, matmul_dtype, gs_local),
+                    k_local)),
                 None)
         else:
             vals, inds = chunked_topk(
-                dense_scores(q_hat, g_local, matmul_dtype), k_local)
+                dense_scores(q_hat, g_local, matmul_dtype, gs_local),
+                k_local)
         # localize -> globalize indices by shard offset
         offset = jax.lax.axis_index(axis_name) * shard
         return vals, inds + offset
 
+    has_scale = gallery_scale is not None
+    scale_spec = (P(axis_name, None),) if has_scale else ()
+
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(axis_name, None)),
+        in_specs=(P(), P(axis_name, None)) + scale_spec,
         out_specs=(P(axis_name), P(axis_name)),
         # pallas_call outputs don't carry varying-mesh-axis metadata yet
         check_vma=False)
-    def ranked(q_hat, g_shard):
-        vals, inds = local_rank(q_hat, g_shard)
+    def ranked(q_hat, g_shard, *gs_shard):
+        vals, inds = local_rank(q_hat, g_shard,
+                                gs_shard[0] if gs_shard else None)
         return vals[None], inds[None]     # leading device axis for gather
 
     q_hat = l2_normalize(queries)
-    vals, inds = ranked(q_hat, gallery)   # (n_dev, Q, k_local) each
+    args = (gallery, gallery_scale) if has_scale else (gallery,)
+    vals, inds = ranked(q_hat, *args)     # (n_dev, Q, k_local) each
     # merge: concatenate device candidates, re-top-k (tiny: n_dev*k per query)
     vals = jnp.swapaxes(vals, 0, 1).reshape(queries.shape[0], -1)
     inds = jnp.swapaxes(inds, 0, 1).reshape(queries.shape[0], -1)

@@ -62,6 +62,27 @@ def put_replicated(mesh: Mesh, tree: Any) -> Any:
     return jax.device_put(tree, sharding)
 
 
+def put_row_sharded(arr: np.ndarray, mesh: Mesh,
+                    axis_name: str = "data") -> jax.Array:
+    """Place a host array onto the mesh sharded on its leading dim WITHOUT
+    ever materializing the full array on any single device.
+
+    Each device receives exactly its own row slice via a per-device
+    ``device_put`` and the global array is assembled with
+    ``make_array_from_single_device_arrays`` — the point of sharded compact
+    galleries is holding ``G/n_dev`` rows per chip, which a
+    full-array-then-reshard path would defeat (it would OOM exactly when
+    the mesh path is needed).
+    """
+    arr = np.asarray(arr)
+    sharding = data_sharding(mesh, arr.ndim, axis_name)
+    bufs = [jax.device_put(arr[idx], d)
+            for d, idx in
+            sharding.addressable_devices_indices_map(arr.shape).items()]
+    return jax.make_array_from_single_device_arrays(arr.shape, sharding,
+                                                    bufs)
+
+
 def pad_to_multiple(batch: Any, multiple: int) -> tuple[Any, int]:
     """Pad leading dims so every array divides the mesh (returns real size)."""
     sizes = {np.asarray(x).shape[0] for x in jax.tree.leaves(batch)}

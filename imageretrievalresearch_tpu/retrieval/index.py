@@ -187,25 +187,55 @@ class GalleryIndex:
 
     # --- querying ---
 
-    def _gallery_on_device(self, matmul_dtype: str = "float32"):
+    def _gallery_on_device(self, matmul_dtype: str = "float32", mesh=None):
         """The device-resident gallery in the serving form the query
-        arithmetic consumes — prepared ONCE per dtype on host (numpy) and
-        uploaded in its compact form (int8: quarter, bf16: half the f32
-        bytes over the host->device link), then cached. Embeddings are
-        already L2-normalized at ingest."""
-        if matmul_dtype not in self._device_gallery:
+        arithmetic consumes — prepared ONCE per (dtype, mesh) on host
+        (numpy) and uploaded in its compact form (int8: quarter, bf16:
+        half the f32 bytes over the host->device link), then cached.
+        Embeddings are already L2-normalized at ingest.
+
+        With ``mesh``, rows are zero-padded on host to a mesh multiple and
+        each device receives ONLY its compact row shard
+        (:func:`parallel.mesh.put_row_sharded`) — full f32 is never
+        materialized on any device, so a sharded int8 gallery really holds
+        ``G/n_dev`` quarter-size rows per chip. Returns ``(codes, scales)``
+        for int8, a single array otherwise.
+        """
+        key = (matmul_dtype,
+               None if mesh is None
+               else (mesh.axis_names,
+                     tuple(d.id for d in mesh.devices.flat)))
+        if key not in self._device_gallery:
             emb = self.embeddings
+            pad = 0
+            if mesh is not None:
+                from imageretrievalresearch_tpu.parallel.mesh import (
+                    put_row_sharded,
+                )
+                pad = (-emb.shape[0]) % mesh.shape["data"]
+                put = lambda a: put_row_sharded(a, mesh)  # noqa: E731
+            else:
+                put = jnp.asarray
             if matmul_dtype == "int8":
                 codes, scales = _np_quantize_rows_int8(emb)
-                self._device_gallery[matmul_dtype] = (
-                    jnp.asarray(codes), jnp.asarray(scales))
+                if pad:
+                    codes = np.pad(codes, ((0, pad), (0, 0)))
+                    # pad scales with 1.0: 0-code rows score exactly 0.0
+                    # either way and an all-zero scale row would be the
+                    # only path producing 0 * 0 ambiguity downstream
+                    scales = np.pad(scales, ((0, pad), (0, 0)),
+                                    constant_values=1.0)
+                self._device_gallery[key] = (put(codes), put(scales))
             elif matmul_dtype == "bfloat16":
                 import ml_dtypes
-                self._device_gallery[matmul_dtype] = jnp.asarray(
-                    emb.astype(ml_dtypes.bfloat16))
+                g = emb.astype(ml_dtypes.bfloat16)
+                if pad:
+                    g = np.pad(g, ((0, pad), (0, 0)))
+                self._device_gallery[key] = put(g)
             else:
-                self._device_gallery[matmul_dtype] = jnp.asarray(emb)
-        return self._device_gallery[matmul_dtype]
+                g = np.pad(emb, ((0, pad), (0, 0))) if pad else emb
+                self._device_gallery[key] = put(g)
+        return self._device_gallery[key]
 
     def _classes_on_device(self) -> jax.Array:
         # cached like the gallery: re-uploading (G,) classes per call costs
@@ -245,23 +275,23 @@ class GalleryIndex:
                                      interpret=interpret)
             vals, inds = np.asarray(vals), np.asarray(inds)
             return vals, inds, self.classes[inds]
-        # mesh path: the raw f32 gallery is sharded across devices (each
-        # shard prepares its dtype form locally inside the shard_map)
+        # mesh path: each device holds ONLY its compact row shard (int8
+        # codes+scales / bf16 / f32), padded on host to a mesh multiple —
+        # full f32 never touches any single device
         from imageretrievalresearch_tpu.parallel.gallery import (
             sharded_cosine_topk,
         )
-        g = self._gallery_on_device()
-        n_dev = mesh.shape["data"]
-        pad = (-len(self)) % n_dev
-        if pad:
-            # zero pad rows score cosine 0, which can outrank real rows
-            # with negative similarity — over-query by the pad count,
-            # then drop pad indices: the global top-(k+pad) contains at
-            # least k real rows
-            g = jnp.pad(g, ((0, pad), (0, 0)))
+        prepared = self._gallery_on_device(matmul_dtype, mesh=mesh)
+        g, g_scale = (prepared if isinstance(prepared, tuple)
+                      else (prepared, None))
+        pad = g.shape[0] - len(self)
+        # zero pad rows score exactly 0, which can outrank real rows with
+        # negative similarity — over-query by the pad count, then drop pad
+        # indices: the global top-(k+pad) contains at least k real rows
         kk = min(k + pad, g.shape[0])
         vals, inds = sharded_cosine_topk(q, g, kk, mesh,
                                          matmul_dtype=matmul_dtype,
+                                         gallery_scale=g_scale,
                                          interpret=interpret)
         if pad:
             vals = jnp.where(inds < len(self), vals, -jnp.inf)
