@@ -20,12 +20,43 @@ def _write_im(path: str, rng: np.random.Generator, size: int = 64) -> None:
     Image.fromarray(arr).save(path)
 
 
+def _class_base(cat: int, prod: int, size: int) -> np.ndarray:
+    """Deterministic low-frequency class pattern: a 4x4 random field per
+    (cat, prod) upsampled to (size, size, 3). Gives synthetic trees a
+    LEARNABLE class signal (pure-noise trees make any two frameworks agree
+    trivially at chance on held-out data)."""
+    rng = np.random.default_rng(991 + 1000 * cat + prod)
+    low = rng.integers(30, 226, size=(4, 4, 3), dtype=np.uint8)
+    im = Image.fromarray(low).resize((size, size), Image.BILINEAR)
+    return np.asarray(im, np.float32)
+
+
+def _write_structured(path: str, rng: np.random.Generator, size: int,
+                      cat: int, prod: int, *, sketch: bool) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    base = _class_base(cat, prod, size)
+    if sketch:
+        # the sketch domain shares the class structure through a global
+        # transform (inversion) — retrieval across domains is learnable
+        # but not an identity shortcut
+        base = 255.0 - base
+    noise = rng.normal(0.0, 28.0, size=(size, size, 3))
+    arr = np.clip(base + noise, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
 def make_sketchy_tree(root: str, *, n_cats: int = 3, n_prods: int = 2,
                       n_photos: int = 3, n_sketches: int = 3,
-                      size: int = 64, seed: int = 0) -> str:
+                      size: int = 64, seed: int = 0,
+                      structured: bool = False) -> str:
     """Sketchy layout: photo|sketch/tx_000000000000/<cat>/<prod>-N.{jpg,png}.
 
     (reference data/sketch_dataset.py:36-38, :140-142)
+
+    ``structured=True`` draws each image from a per-(cat, prod) low-frequency
+    pattern + noise (sketches inverted) so held-out retrieval metrics are
+    learnable above chance — the convergence-parity harness needs a live
+    quality signal, not noise memorization.
     """
     rng = np.random.default_rng(seed)
     for c in range(n_cats):
@@ -33,11 +64,19 @@ def make_sketchy_tree(root: str, *, n_cats: int = 3, n_prods: int = 2,
         for p in range(n_prods):
             prod = f"n{c:02d}{p:02d}"
             for i in range(n_photos):
-                _write_im(os.path.join(root, "photo", "tx_000000000000",
-                                       cat, f"{prod}-{i}.jpg"), rng, size)
+                path = os.path.join(root, "photo", "tx_000000000000",
+                                    cat, f"{prod}-{i}.jpg")
+                if structured:
+                    _write_structured(path, rng, size, c, p, sketch=False)
+                else:
+                    _write_im(path, rng, size)
             for i in range(n_sketches):
-                _write_im(os.path.join(root, "sketch", "tx_000000000000",
-                                       cat, f"{prod}-{i}.png"), rng, size)
+                path = os.path.join(root, "sketch", "tx_000000000000",
+                                    cat, f"{prod}-{i}.png")
+                if structured:
+                    _write_structured(path, rng, size, c, p, sketch=True)
+                else:
+                    _write_im(path, rng, size)
     return root
 
 

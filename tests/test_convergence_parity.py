@@ -1,0 +1,69 @@
+"""Convergence-level parity harness (tools/convergence_parity.py) in CI.
+
+The full-scale evidence lives in PARITY.md (6-cat tree, 10-14 epochs:
+converged class-dedup top1/top3 MATCH torch exactly on T1, within 1/24
+queries on T3; AutoAugment-implementation drift bounded by seed noise).
+Those runs take ~10 min/recipe — too heavy for CI — so this test runs the
+same harness end-to-end at a 2-minute scale and pins what is already
+decision-grade there:
+
+- per-epoch train-loss parity through the REAL Trainer (MultiStepLR +
+  best-checkpoint + early-stop) vs the literal torch loop,
+- per-epoch validation cos_sims parity,
+- final class-dedup pairwise scores parity on the held-out split,
+- both sides select a best epoch inside the same collapsed-cos_sims
+  plateau (the reference's cos_sims monitor is degenerate on synthetic
+  trees — see PARITY.md).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+pytestmark = pytest.mark.slow
+
+
+class TestConvergenceParity:
+    def test_t1_trains_identically_through_real_trainer(self, tmp_path):
+        from convergence_parity import run_experiment
+
+        out = run_experiment(str(tmp_path / "cp"), recipe="t1", epochs=8,
+                             n_cats=4, n_prods=1, n_photos=10,
+                             n_sketches=6, milestones=(3, 5), phase="all")
+
+        tl_j = np.asarray(out["train_loss"]["jax"])
+        tl_t = np.asarray(out["train_loss"]["torch"])
+        n = min(len(tl_j), len(tl_t))
+        assert n >= 6                     # both actually trained
+        # full-machinery per-epoch loss parity (measured ~1e-5 rel)
+        np.testing.assert_allclose(tl_j[:n], tl_t[:n], rtol=5e-3)
+        # the monitored metric tracks too
+        cs_j = np.asarray(out["cos_sims"]["jax"])[:n]
+        cs_t = np.asarray(out["cos_sims"]["torch"])[:n]
+        np.testing.assert_allclose(cs_j, cs_t, atol=2e-2)
+
+        final = out["final_class_dedup"]
+        for which in ("best", "last"):
+            d = final[which]["abs_diff"]
+            # pairwise cosine scores: direct embedding parity (measured
+            # <= 6e-3 even pre-separation)
+            assert d["scores"] < 5e-2, (which, d)
+            assert d["neg_scores"] < 5e-2, (which, d)
+            # rank metrics are argmax noise while embeddings are still
+            # collapsed (pos and neg scores both ~1.0: ordering near-equal
+            # similarities is ill-conditioned); assert rank parity only
+            # once separation happened. The convergence-scale agreement
+            # (diff 0.0 on top1/top3) is recorded in PARITY.md.
+            j = final[which]["jax"]
+            if j["scores"] - j["neg_scores"] > 0.1:
+                assert d["top1"] <= 0.25 and d["top3"] <= 0.25, (which, d)
+
+        # checkpoint selection: both sides peak inside the early collapsed
+        # plateau (cos_sims ~ 1.0 within float noise of each other)
+        bj, bt = out["best_epoch"]["jax"], out["best_epoch"]["torch"]
+        assert cs_j[bj] > 0.999 and cs_t[bt] > 0.999

@@ -1,0 +1,667 @@
+"""Convergence-level quality parity vs literal torch replicas.
+
+The in-repo proxy for the reference README's headline claim (test
+top3/top1 ~= 0.968/0.943, README.md:128-130) with no Sketchy data in the
+sandbox: train the SAME shrunken recipe to convergence on a structured
+synthetic tree in BOTH this framework (through the real Trainer —
+MultiStepLR, best-checkpoint selection, early-stop machinery) and a
+literal torch replica (same init via the converter, same raw batches in
+the same order, same AdamW/MultiStepLR/monitoring), then compare what the
+README actually measures: per-epoch validation cos_sims / in-batch
+top1/top3 trajectories AND the final class-dedup retrieval metrics
+(training_analysis.ipynb cell 2 semantics) of the BEST checkpoint each
+side selected.
+
+This extends tests/test_quality_parity.py (10-step loss tracking) to the
+metric level after real optimization — the round-2 verdict's top ask.
+
+Recipes:
+  t1  cos(0.5)+CE            (train/train.py)
+  t3  cos(0.3)+con(0.3)+CE   (train/train_efficient_cos_con_ce_loss.py,
+                              the README's best recipe) — AutoAugment is
+                              exercised separately by the `aa` mode below
+  aa  T3 in THIS framework twice: device AutoAugment (3-shear rotate,
+      ops/autoaugment.py) vs exact host-PIL ImageNetPolicy, plus a
+      seed-jittered device run — bounds the TPU path's <=1 px rotate
+      drift against seed noise. (A draw-for-draw torch comparison is
+      impossible: the two samplers consume randomness differently.)
+
+Run:  python tools/convergence_parity.py --recipe t3 --epochs 6 \
+          --out /tmp/parity_t3.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+# ---------------------------------------------------------------- data ----
+
+def build_data(workdir: str, *, n_cats: int = 6, n_prods: int = 2,
+               n_photos: int = 10, n_sketches: int = 6, size: int = 32,
+               seed: int = 0) -> tuple[str, str]:
+    from imageretrievalresearch_tpu.data.splits import data_split_sketchy
+    from imageretrievalresearch_tpu.data.synthetic import make_sketchy_tree
+
+    tree = make_sketchy_tree(os.path.join(workdir, "tree"), n_cats=n_cats,
+                             n_prods=n_prods, n_photos=n_photos,
+                             n_sketches=n_sketches, size=size, seed=seed,
+                             structured=True)
+    split = os.path.join(workdir, "split.json")
+    data_split_sketchy(tree, split, policy="cat", hard_split=False,
+                       split=[0.6, 0.2, 0.2], seed=seed)
+    return tree, split
+
+
+def make_loader(tree: str, split: str, part: str, bs: int, *,
+                seed: int = 0, shuffle: bool = True, drop_last: bool = True):
+    from imageretrievalresearch_tpu.data import (
+        SketchyImageDataset,
+        TripletLoader,
+    )
+
+    ds = SketchyImageDataset(data_dir=tree, trainval_json=split,
+                             trainval=part)
+    return TripletLoader(ds, bs, num_workers=2, seed=seed, shuffle=shuffle,
+                         drop_last=drop_last)
+
+
+def _to_float(b: dict) -> dict:
+    """The Trainer's plain train/eval transform at host size (/255)."""
+    return {
+        "qry": b["qry"].astype(np.float32) / 255.0,
+        "pos": [b["pos"][0].astype(np.float32) / 255.0],
+        "neg": [b["neg"][0].astype(np.float32) / 255.0],
+        "cat_idx": b["cat_idx"],
+        "prod_idx": b["prod_idx"],
+    }
+
+
+# ------------------------------------------------------------ jax side ----
+
+def jax_train(cfg, backbone, variables, train_loader, val_loader,
+              workdir: str):
+    """Train through the REAL Trainer (fused steps, MultiStepLR,
+    best-checkpoint-on-cos_sims, early stop) and return
+    (best_variables, history)."""
+    import jax
+
+    from imageretrievalresearch_tpu.train import EmbedTrainState, Trainer
+    from imageretrievalresearch_tpu.parallel.mesh import put_replicated
+
+    cfg.checkpoint_dir = os.path.join(workdir, "jax_ckpt")
+    trainer = Trainer(cfg, backbone, train_loader, val_loader)
+    state = put_replicated(trainer.mesh,
+                           EmbedTrainState.from_backbone(
+                               backbone, variables, trainer.tx))
+    state, history = trainer.fit(state)
+    best = trainer.ckpt.best_step()
+    restored = trainer.ckpt.restore(jax.device_get(state), step=best)
+    last_vars = jax.device_get(state).backbone_variables()
+    return restored.backbone_variables(), last_vars, history
+
+
+# ---------------------------------------------------------- torch side ----
+
+class _TorchContrastive:
+    """Literal reference utils/contrastive_loss.py:31-61 (eps in sqrt)."""
+
+    def __init__(self, margin):
+        self.margin, self.eps = margin, 1e-9
+
+    def __call__(self, fm1, fm2, label):
+        import torch
+
+        d2 = torch.sum((fm1 - fm2) ** 2, dim=1)
+        d = torch.sqrt(d2 + self.eps)
+        return (0.5 * (label * d2
+                       + (1 - label) * torch.relu(self.margin - d) ** 2)
+                ).mean()
+
+
+def _torch_forward(model, fb):
+    import torch
+
+    qry = torch.from_numpy(fb["qry"].transpose(0, 3, 1, 2))
+    pos = torch.from_numpy(fb["pos"][0].transpose(0, 3, 1, 2))
+    neg = torch.from_numpy(fb["neg"][0].transpose(0, 3, 1, 2))
+    b = qry.shape[0]
+    x = torch.cat([qry, pos, neg], dim=0)
+    fm = model.forward_features(x).mean((2, 3))
+    logits = model.classifier(fm)
+    return (fm[:b], fm[b:2 * b], fm[2 * b:]), (logits[:b], logits[b:2 * b]), b
+
+
+def _torch_loss(model, fb, cfg):
+    import torch
+
+    (fm_q, fm_p, fm_n), (lb_q, lb_p), b = _torch_forward(model, fb)
+    lbl = torch.from_numpy(fb["cat_idx"]).long()
+    cos = torch.nn.CosineEmbeddingLoss(margin=cfg.cos_margin)
+    ce = torch.nn.CrossEntropyLoss()
+    ones = torch.ones(b)
+    loss = (cos(fm_q, fm_p, ones) + cos(fm_q, fm_n, -ones)
+            + ce(lb_q, lbl) + ce(lb_p, lbl))
+    if cfg.loss_mode == "cos_con_ce":
+        con = _TorchContrastive(cfg.con_margin)
+        loss = loss + con(fm_q, fm_p, ones) + con(fm_q, fm_n, 1 - ones)
+    return loss, (fm_q, fm_p, fm_n)
+
+
+def torch_train(cfg, tmodel, train_loader, val_loader, epochs: int,
+                milestones, *, monitor: str = "cos_sims"):
+    """The literal reference training loop: AdamW + per-epoch MultiStepLR +
+    best-checkpoint and early stop (patience cfg.early_stop_patience) on
+    the monitored validation metric — the same machinery Trainer.fit
+    runs."""
+    import torch
+
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=cfg.learning_rate,
+                            weight_decay=cfg.weight_decay)
+    sched = torch.optim.lr_scheduler.MultiStepLR(
+        opt, milestones=list(milestones), gamma=cfg.lr_gamma)
+    history = {"epochs": []}
+    best_val, best_sd, bad_epochs = -np.inf, None, 0
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        tmodel.train()
+        losses = []
+        for b in train_loader:
+            loss, _ = _torch_loss(tmodel, _to_float(b), cfg)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.detach()))
+        sched.step()
+        em = {"train_loss": float(np.mean(losses))}
+        em.update(torch_eval_epoch(cfg, tmodel, val_loader))
+        history["epochs"].append(em)
+        if em[monitor] > best_val:
+            best_val = em[monitor]
+            best_sd = copy.deepcopy(tmodel.state_dict())
+            history["best_epoch"] = epoch
+            bad_epochs = 0
+        else:
+            bad_epochs += 1
+        if bad_epochs >= cfg.early_stop_patience:
+            history["stopped_early"] = epoch
+            break
+    last_sd = copy.deepcopy(tmodel.state_dict())
+    tmodel.load_state_dict(best_sd)
+    return tmodel, last_sd, history
+
+
+def torch_eval_epoch(cfg, tmodel, val_loader) -> dict:
+    """Trainer.eval_epoch semantics (per-batch metric means, then mean
+    over batches) with the torch model; the metric FUNCTIONS are the
+    repo's own (parity-tested vs literal torch loops) so any difference
+    isolates to the trained models."""
+    import jax.numpy as jnp
+    import torch
+
+    from imageretrievalresearch_tpu import metrics as M
+
+    tmodel.eval()
+    agg: dict[str, list] = {}
+    with torch.no_grad():
+        for b in val_loader:
+            fb = _to_float(b)
+            loss, (fm_q, fm_p, fm_n) = _torch_loss(tmodel, fb, cfg)
+            fq, fp, fn = (jnp.asarray(fm_q.numpy()),
+                          jnp.asarray(fm_p.numpy()),
+                          jnp.asarray(fm_n.numpy()))
+            pair = M.pairwise_cos_stats(fq, fp, fn)
+            tk = M.inbatch_topk(fq, fp, jnp.asarray(fb["cat_idx"]), k=3)
+            rec = {"val_loss": float(loss),
+                   "cos_sims": float(pair["cos_sims"]),
+                   "cos_unsims": float(pair["cos_unsims"]),
+                   "val_top3": float(tk["top3"]),
+                   "val_top1": float(tk["top1"])}
+            for k, v in rec.items():
+                agg.setdefault(k, []).append(v)
+    return {k: float(np.mean(v)) for k, v in agg.items()}
+
+
+# ------------------------------------------------------------ final eval --
+
+def final_class_dedup(backbone, variables, torch_model, eval_loader):
+    """Embed the held-out split with both best models and run the full
+    notebook-semantics class-dedup evaluation on each."""
+    import torch
+
+    from imageretrievalresearch_tpu.retrieval.engine import RetrievalEngine
+
+    engine = RetrievalEngine(backbone, variables)
+
+    def transform(x):
+        return np.asarray(x, np.float32) / 255.0
+
+    # jax embeddings
+    jx = engine.embed_triplet_loader(
+        _TransformedLoader(eval_loader, transform))
+    jres = engine.evaluate_class_dedup(jx)
+
+    # torch embeddings through the same evaluation
+    torch_model.eval()
+    fms = {"fms_ims_all": [], "fms_poss_all": [], "fms_negs_all": [],
+           "classes_all": []}
+    with torch.no_grad():
+        for b in eval_loader:
+            fb = _to_float(b)
+            (fm_q, fm_p, fm_n), _, _ = _torch_forward(torch_model, fb)
+            fms["fms_ims_all"].append(fm_q.numpy())
+            fms["fms_poss_all"].append(fm_p.numpy())
+            fms["fms_negs_all"].append(fm_n.numpy())
+            fms["classes_all"].append(fb["cat_idx"])
+    tx = {k: np.concatenate(v) for k, v in fms.items()}
+    tres = engine.evaluate_class_dedup(tx)
+    keys = ("top1", "top3", "scores", "neg_scores")
+    return ({k: float(jres[k]) for k in keys},
+            {k: float(tres[k]) for k in keys})
+
+
+class _TransformedLoader:
+    def __init__(self, loader, fn):
+        self.loader, self.fn = loader, fn
+
+    def __iter__(self):
+        for b in self.loader:
+            yield {"qry": self.fn(b["qry"]),
+                   "pos": [self.fn(b["pos"][0])],
+                   "neg": [self.fn(b["neg"][0])],
+                   "cat_idx": b["cat_idx"],
+                   "prod_idx": b["prod_idx"]}
+
+
+# ------------------------------------------------------------ experiment --
+
+def _setup(workdir: str, *, recipe: str, epochs: int, batch_size: int,
+           size: int, n_cats: int, n_prods: int, n_photos: int,
+           n_sketches: int, milestones, lr: float, wd: float):
+    """Deterministic shared context for every phase: tree, split, config,
+    identical init (torch weights converted into flax)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from test_convert_fullsize import TorchEffNet
+
+    from imageretrievalresearch_tpu.config import TrainConfig
+    from imageretrievalresearch_tpu.models import create_model
+    from imageretrievalresearch_tpu.models.convert import (
+        convert_torch_state_dict,
+    )
+
+    os.makedirs(workdir, exist_ok=True)
+    tree, split = build_data(workdir, n_cats=n_cats, n_prods=n_prods,
+                             n_photos=n_photos, n_sketches=n_sketches,
+                             size=size)
+    cfg = TrainConfig(model_name="efficientnet_b0", batch_size=batch_size,
+                      image_size=size, compute_dtype="float32",
+                      learning_rate=lr, weight_decay=wd,
+                      milestones=tuple(milestones), max_epochs=epochs,
+                      use_contrastive=recipe == "t3",
+                      cos_margin=0.3 if recipe == "t3" else 0.5,
+                      con_margin=0.3)
+    torch.manual_seed(0)
+    n_cls = make_loader(tree, split, "train",
+                        batch_size).dataset.get_cat_length()
+    tmodel = TorchEffNet(width_mult=0.5, depth_mult=0.1, num_classes=n_cls)
+    bb = create_model("efficientnet_b0", num_classes=n_cls, depth_mult=0.1,
+                      width_mult=0.5, drop_rate=0.0)
+    variables = bb.init(jax.random.key(0),
+                        jnp.zeros((1, size, size, 3)))
+    variables = convert_torch_state_dict(tmodel.state_dict(), bb, variables,
+                                         strict=True)
+    return tree, split, cfg, tmodel, bb, variables
+
+
+def run_experiment(workdir: str, *, recipe: str = "t3", epochs: int = 6,
+                   batch_size: int = 8, size: int = 32,
+                   n_cats: int = 6, n_prods: int = 2, n_photos: int = 10,
+                   n_sketches: int = 6, milestones=(3, 5),
+                   lr: float = 1e-3, wd: float = 1e-5,
+                   phase: str = "all") -> dict | None:
+    """``phase`` chunks the experiment across process invocations (this
+    host kills shells at ~590 s): 'jax' and 'torch' each train one side
+    and persist artifacts under ``workdir``; 'final' loads both, runs the
+    class-dedup evaluation, and returns the merged report. 'all' does
+    everything in one process (small configs only)."""
+    import pickle
+
+    import torch
+
+    tree, split, cfg, tmodel, bb, variables = _setup(
+        workdir, recipe=recipe, epochs=epochs, batch_size=batch_size,
+        size=size, n_cats=n_cats, n_prods=n_prods, n_photos=n_photos,
+        n_sketches=n_sketches, milestones=milestones, lr=lr, wd=wd)
+    jvars_path = os.path.join(workdir, "jax_best.pkl")
+    jhist_path = os.path.join(workdir, "jax_hist.json")
+    tsd_path = os.path.join(workdir, "torch_best.pt")
+    thist_path = os.path.join(workdir, "torch_hist.json")
+
+    if phase in ("all", "jax"):
+        # identical batches both sides: same-seed loader instances walk the
+        # same per-(epoch, idx) RNG -> identical raw uint8 batches
+        jax_tl = make_loader(tree, split, "train", batch_size)
+        jax_vl = make_loader(tree, split, "val", batch_size, seed=1)
+        jbest, jlast, jhist = jax_train(cfg, bb, variables, jax_tl, jax_vl,
+                                        workdir)
+        with open(jvars_path, "wb") as f:
+            pickle.dump({"best": jbest, "last": jlast}, f)
+        with open(jhist_path, "w") as f:
+            json.dump(jhist, f)
+        if phase == "jax":
+            return None
+    if phase in ("all", "torch"):
+        tor_tl = make_loader(tree, split, "train", batch_size)
+        tor_vl = make_loader(tree, split, "val", batch_size, seed=1)
+        tmodel, tlast_sd, thist = torch_train(cfg, tmodel, tor_tl, tor_vl,
+                                              epochs, milestones)
+        torch.save({"best": tmodel.state_dict(), "last": tlast_sd},
+                   tsd_path)
+        with open(thist_path, "w") as f:
+            json.dump(thist, f)
+        if phase == "torch":
+            return None
+
+    with open(jvars_path, "rb") as f:
+        jv = pickle.load(f)
+    jhist = json.load(open(jhist_path))
+    tsd = torch.load(tsd_path)
+    thist = json.load(open(thist_path))
+
+    eval_loader = make_loader(tree, split, "test", batch_size, seed=2,
+                              shuffle=False, drop_last=False)
+    final = {}
+    for which in ("best", "last"):
+        tmodel.load_state_dict(tsd[which])
+        jfinal, tfinal = final_class_dedup(bb, jv[which], tmodel,
+                                           eval_loader)
+        final[which] = {
+            "jax": jfinal, "torch": tfinal,
+            "abs_diff": {k: abs(jfinal[k] - tfinal[k]) for k in jfinal},
+        }
+
+    def traj(hist, key):
+        return [e[key] for e in hist["epochs"] if key in e]
+
+    # checkpoint-selection parity: argmax of the monitored metric per side
+    jbest_ep = int(np.argmax(traj(jhist, "cos_sims")))
+    tbest_ep = thist.get("best_epoch", int(np.argmax(traj(thist,
+                                                          "cos_sims"))))
+    out = {
+        "recipe": recipe, "epochs": epochs,
+        "best_epoch": {"jax": jbest_ep, "torch": int(tbest_ep)},
+        "train_loss": {"jax": traj(jhist, "train_loss"),
+                       "torch": traj(thist, "train_loss")},
+        "cos_sims": {"jax": traj(jhist, "cos_sims"),
+                     "torch": traj(thist, "cos_sims")},
+        "val_top1": {"jax": traj(jhist, "val_top1"),
+                     "torch": traj(thist, "val_top1")},
+        "val_top3": {"jax": traj(jhist, "val_top3"),
+                     "torch": traj(thist, "val_top3")},
+        # 'best' follows the reference's cos_sims monitor (train.py:448);
+        # 'last' is the converged model — on this synthetic task the
+        # collapsed init maximizes cos_sims, so 'best' lands on epoch 1
+        # (both frameworks agree on that selection; the reference would
+        # select it too)
+        "final_class_dedup": final,
+    }
+    return out
+
+
+# ------------------------------------------------- autoaugment (aa) mode --
+
+def pil_imagenet_policy(im, rng: np.random.Generator):
+    """The public ImageNetPolicy applied with PIL — the reference's exact
+    augmentation arithmetic (AutoAugment.py as used by
+    train/train_efficientnet.py:49-64), sampling a random sub-policy per
+    image."""
+    from PIL import Image, ImageEnhance, ImageOps
+
+    from imageretrievalresearch_tpu.ops.autoaugment import (
+        IMAGENET_SUBPOLICIES,
+        _MAGS,
+        _OP_IDS,
+        _SIGNED,
+    )
+
+    def rotate_with_fill(img, magnitude):
+        rot = img.convert("RGBA").rotate(magnitude)
+        return Image.composite(
+            rot, Image.new("RGBA", rot.size, (128,) * 4), rot).convert(
+            img.mode)
+
+    def apply_op(img, name, mag):
+        if name == "shearX":
+            return img.transform(img.size, Image.AFFINE,
+                                 (1, mag, 0, 0, 1, 0), Image.BICUBIC,
+                                 fillcolor=(128, 128, 128))
+        if name == "shearY":
+            return img.transform(img.size, Image.AFFINE,
+                                 (1, 0, 0, mag, 1, 0), Image.BICUBIC,
+                                 fillcolor=(128, 128, 128))
+        if name == "translateX":
+            return img.transform(img.size, Image.AFFINE,
+                                 (1, 0, mag * img.size[0], 0, 1, 0),
+                                 fillcolor=(128, 128, 128))
+        if name == "translateY":
+            return img.transform(img.size, Image.AFFINE,
+                                 (1, 0, 0, 0, 1, mag * img.size[1]),
+                                 fillcolor=(128, 128, 128))
+        if name == "rotate":
+            return rotate_with_fill(img, mag)
+        if name == "color":
+            return ImageEnhance.Color(img).enhance(1 + mag)
+        if name == "posterize":
+            return ImageOps.posterize(img, int(mag))
+        if name == "solarize":
+            return ImageOps.solarize(img, mag)
+        if name == "contrast":
+            return ImageEnhance.Contrast(img).enhance(1 + mag)
+        if name == "sharpness":
+            return ImageEnhance.Sharpness(img).enhance(1 + mag)
+        if name == "brightness":
+            return ImageEnhance.Brightness(img).enhance(1 + mag)
+        if name == "autocontrast":
+            return ImageOps.autocontrast(img)
+        if name == "equalize":
+            return ImageOps.equalize(img)
+        if name == "invert":
+            return ImageOps.invert(img)
+        raise ValueError(name)
+
+    sub = IMAGENET_SUBPOLICIES[rng.integers(0, len(IMAGENET_SUBPOLICIES))]
+    for name, p, mag_idx in sub:
+        if rng.random() < p:
+            mag = float(_MAGS[_OP_IDS[name], mag_idx])
+            if _SIGNED[_OP_IDS[name]] and rng.random() < 0.5:
+                mag = -mag
+            im = apply_op(im, name, mag)
+    return im
+
+
+class _PILAugmentedLoader:
+    """Wrap a TripletLoader: apply the exact PIL ImageNetPolicy to every
+    train image on host (the reference's augmentation path)."""
+
+    def __init__(self, loader, seed=0):
+        self.loader, self.seed = loader, seed
+        self.epoch = 0
+
+    def __len__(self):
+        return len(self.loader)
+
+    def set_epoch(self, e):
+        self.epoch = e
+        self.loader.set_epoch(e)
+
+    def _aug_batch(self, arr, rng):
+        from PIL import Image
+
+        out = np.empty_like(arr)
+        for i in range(arr.shape[0]):
+            out[i] = np.asarray(
+                pil_imagenet_policy(Image.fromarray(arr[i]), rng), np.uint8)
+        return out
+
+    def __iter__(self):
+        for j, b in enumerate(self.loader):
+            rng = np.random.default_rng(
+                np.random.SeedSequence(entropy=self.seed,
+                                       spawn_key=(self.epoch, j)))
+            yield {"qry": self._aug_batch(b["qry"], rng),
+                   "pos": [self._aug_batch(b["pos"][0], rng)],
+                   "neg": [self._aug_batch(b["neg"][0], rng)],
+                   "cat_idx": b["cat_idx"], "prod_idx": b["prod_idx"]}
+
+
+def run_aa_experiment(workdir: str, *, epochs: int = 6, batch_size: int = 8,
+                      size: int = 32, n_cats: int = 6, n_prods: int = 2,
+                      n_photos: int = 10, n_sketches: int = 6,
+                      milestones=(3, 5), lr: float = 1e-3,
+                      wd: float = 1e-5, only: str | None = None
+                      ) -> dict | None:
+    """Train T3 three times in THIS framework: (a) device AutoAugment,
+    (b) exact host-PIL ImageNetPolicy, (c) device AutoAugment with a
+    different augmentation seed. |a - b| vs |a - c| bounds the TPU
+    rotate-path drift against pure seed noise.
+
+    ``only`` runs a single variant ('dev'|'pil'|'seed2') and persists its
+    result under ``workdir`` (process-chunking for the ~590 s shell cap);
+    ``only='collect'`` merges previously persisted variants."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from test_convert_fullsize import TorchEffNet
+
+    from imageretrievalresearch_tpu.config import TrainConfig
+    from imageretrievalresearch_tpu.models import create_model
+    from imageretrievalresearch_tpu.models.convert import (
+        convert_torch_state_dict,
+    )
+    from imageretrievalresearch_tpu.retrieval.engine import RetrievalEngine
+
+    os.makedirs(workdir, exist_ok=True)
+    tree, split = build_data(workdir, n_cats=n_cats, n_prods=n_prods,
+                             n_photos=n_photos, n_sketches=n_sketches,
+                             size=size)
+
+    def one_run(tag: str, autoaugment: bool, pil_aug: bool, seed: int):
+        cfg = TrainConfig(model_name="efficientnet_b0",
+                          batch_size=batch_size, image_size=size,
+                          compute_dtype="float32", learning_rate=lr,
+                          weight_decay=wd, milestones=tuple(milestones),
+                          max_epochs=epochs, use_contrastive=True,
+                          cos_margin=0.3, con_margin=0.3,
+                          autoaugment=autoaugment, seed=seed)
+        torch.manual_seed(0)
+        tl = make_loader(tree, split, "train", batch_size)
+        n_cls = tl.dataset.get_cat_length()
+        tmodel = TorchEffNet(width_mult=0.5, depth_mult=0.1,
+                             num_classes=n_cls)
+        bb = create_model("efficientnet_b0", num_classes=n_cls,
+                          depth_mult=0.1, width_mult=0.5, drop_rate=0.0)
+        variables = bb.init(jax.random.key(0),
+                            jnp.zeros((1, size, size, 3)))
+        variables = convert_torch_state_dict(tmodel.state_dict(), bb,
+                                             variables, strict=True)
+        if pil_aug:
+            tl = _PILAugmentedLoader(tl, seed=seed)
+        vl = make_loader(tree, split, "val", batch_size, seed=1)
+        # compare the CONVERGED models: augmentation's quality effect
+        # lives there, not in the degenerate cos_sims-peak checkpoint
+        _, jlast, hist = jax_train(cfg, bb, variables, tl, vl,
+                                   os.path.join(workdir, tag))
+        eval_loader = make_loader(tree, split, "test", batch_size, seed=2,
+                                  shuffle=False, drop_last=False)
+        engine = RetrievalEngine(bb, jlast)
+        jx = engine.embed_triplet_loader(_TransformedLoader(
+            eval_loader, lambda x: np.asarray(x, np.float32) / 255.0))
+        res = engine.evaluate_class_dedup(jx)
+        return {k: float(res[k]) for k in ("top1", "top3", "scores")}
+
+    variants = {
+        "dev": ("dev_aa", dict(autoaugment=True, pil_aug=False, seed=42)),
+        "pil": ("pil_aa", dict(autoaugment=False, pil_aug=True, seed=42)),
+        "seed2": ("dev_aa_seed2",
+                  dict(autoaugment=True, pil_aug=False, seed=77)),
+    }
+
+    def res_path(name):
+        return os.path.join(workdir, f"{name}.json")
+
+    if only and only != "collect":
+        tag, kw = variants[only]
+        r = one_run(tag, **kw)
+        with open(res_path(only), "w") as f:
+            json.dump(r, f)
+        return None
+    if only == "collect":
+        a = json.load(open(res_path("dev")))
+        b = json.load(open(res_path("pil")))
+        c = json.load(open(res_path("seed2")))
+    else:
+        a = one_run(*[variants["dev"][0]], **variants["dev"][1])
+        b = one_run(*[variants["pil"][0]], **variants["pil"][1])
+        c = one_run(*[variants["seed2"][0]], **variants["seed2"][1])
+    return {
+        "device_aa": a, "pil_aa": b, "device_aa_seed2": c,
+        "dev_vs_pil_abs": {k: abs(a[k] - b[k]) for k in a},
+        "dev_vs_seed_abs": {k: abs(a[k] - c[k]) for k in a},
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--recipe", choices=["t1", "t3", "aa"], default="t3")
+    p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--workdir", default="/tmp/convergence_parity")
+    p.add_argument("--out", default=None)
+    p.add_argument("--phase", choices=["all", "jax", "torch", "final"],
+                   default="all",
+                   help="chunk the t1/t3 experiment across invocations")
+    p.add_argument("--aa_run", choices=["dev", "pil", "seed2", "collect"],
+                   default=None,
+                   help="chunk the aa experiment: run one variant / merge")
+    p.add_argument("--milestones", type=int, nargs="+", default=[3, 5],
+                   help="MultiStepLR decay epochs (scaled-down reference "
+                        "schedule)")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    wd = os.path.join(args.workdir, args.recipe)
+    ms = tuple(args.milestones)
+    if args.recipe == "aa":
+        out = run_aa_experiment(wd, epochs=args.epochs, only=args.aa_run,
+                                milestones=ms)
+    else:
+        out = run_experiment(wd, recipe=args.recipe, epochs=args.epochs,
+                             phase=args.phase, milestones=ms)
+    if out is None:
+        print(f"phase done ({args.phase or args.aa_run}); artifacts in {wd}")
+        return
+    txt = json.dumps(out, indent=2)
+    print(txt)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(txt)
+
+
+if __name__ == "__main__":
+    main()
