@@ -512,10 +512,16 @@ def fused_cosine_topk_pallas(
 
 def _fused_eligible(q: int, g: int, d: int, k: int,
                     g_tile: int, t_depth: int) -> bool:
-    """Fused-kernel guard: enough gallery to amortize, D fits VMEM tiles,
-    k fits the candidate buffer."""
-    return (g >= 4 * g_tile and d <= 2048 and k <= t_depth * g_tile
-            and k <= 1024)
+    """Fused-kernel guard: enough queries AND gallery to amortize, D fits
+    VMEM tiles, k fits the candidate buffer.
+
+    The q >= 32 floor is measured (tools/serving_latency.py, 100k x 1536
+    gallery, k=150 on chip): below ~32 queries the dense blocked path wins
+    (Q=1: 2.9 ms vs 4.4 ms fused — one small matmul beats the kernel's
+    per-grid-step insertion chain) and both paths are exact, so serving-
+    sized requests route dense automatically."""
+    return (q >= 32 and g >= 4 * g_tile and d <= 2048
+            and k <= t_depth * g_tile and k <= 1024)
 
 
 @functools.partial(jax.jit,

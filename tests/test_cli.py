@@ -397,6 +397,114 @@ class TestGalleryCLI:
         finally:
             srv.shutdown()
 
+    def test_microbatcher_coalesces_concurrent_requests(self):
+        """Concurrent submits drain into fewer device dispatches; results
+        route back to the right request; num_unique groups rank
+        separately."""
+        import threading
+        import time
+
+        import numpy as np
+
+        from imageretrievalresearch_tpu.cli.gallery import _MicroBatcher
+
+        def slow_embed(xs):
+            time.sleep(0.15)           # hold the worker so requests pile up
+            return xs[:, 0, 0, :1].astype(np.float32)   # (N, 1) marker
+
+        def rank(queries, nu):
+            return [{"marker": float(q[0]), "nu": nu} for q in queries]
+
+        b = _MicroBatcher(slow_embed, rank, max_batch=8)
+        results = {}
+
+        def post(i):
+            x = np.full((1, 2, 2, 3), i, np.uint8)
+            results[i] = b.submit(x, 1 if i % 2 else 0)
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert len(results) == 6
+        for i, rec in results.items():
+            assert rec["marker"] == float(i)
+            assert rec["nu"] == (1 if i % 2 else 0)
+        assert b.requests == 6
+        # first request dispatches alone (worker idle); the rest coalesce
+        # while the slow embed holds the worker
+        assert b.dispatches < 6
+
+    def test_submit_relays_worker_errors(self):
+        import numpy as np
+
+        from imageretrievalresearch_tpu.cli.gallery import _MicroBatcher
+
+        def bad_embed(xs):
+            raise RuntimeError("boom")
+
+        b = _MicroBatcher(bad_embed, lambda q, nu: [], max_batch=4)
+        with pytest.raises(RuntimeError, match="boom"):
+            b.submit(np.zeros((1, 2, 2, 3), np.uint8), 0)
+
+    def test_concurrent_posts_all_answered(self, tree, tmp_path, capsys):
+        """e2e: concurrent POSTs against the live endpoint all return
+        correct rankings and are counted by the batcher."""
+        import glob
+        import json
+        import threading
+        import urllib.request
+
+        from imageretrievalresearch_tpu.cli.gallery import (
+            _make_server,
+            build_parser,
+        )
+        from imageretrievalresearch_tpu.cli.inference import (
+            build_parser as inf_parser,
+            run as inf_run,
+        )
+
+        npz = str(tmp_path / "gal.npz")
+        inf_run(inf_parser().parse_args([
+            "-ip", tree, "-mn", "efficientnet_b0", "-is", "32", "-bs", "8",
+            "--save_gallery", npz,
+        ]))
+        capsys.readouterr()
+        srv = _make_server(build_parser().parse_args(
+            ["serve", npz, "--port", "0", "-k", "24", "--num_unique", "2"]))
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            base = f"http://127.0.0.1:{srv.server_address[1]}"
+            photo = sorted(glob.glob(
+                tree + "/photo/tx_000000000000/*/*"))[0]
+            body = open(photo, "rb").read()
+            out, errs = {}, []
+
+            def post(i):
+                try:
+                    req = urllib.request.Request(base + "/search",
+                                                 data=body, method="POST")
+                    with urllib.request.urlopen(req, timeout=180) as r:
+                        out[i] = json.loads(r.read())
+                except Exception as e:  # noqa: BLE001
+                    errs.append(e)
+
+            threads = [threading.Thread(target=post, args=(i,))
+                       for i in range(5)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=180)
+            assert not errs, errs
+            assert len(out) == 5
+            for rec in out.values():
+                assert len(rec["indices"]) == 2
+            assert srv.batcher.requests == 5
+        finally:
+            srv.shutdown()
+
     def test_query_rejects_mixed_resolutions(self, tree, tmp_path, capsys):
         import glob
 
