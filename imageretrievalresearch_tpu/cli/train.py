@@ -56,10 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split_json", type=str, default=None,
                    help="train/val/test split json (see cli.data_split)")
     p.add_argument("--dataset", type=str, default="sketchy",
-                   choices=["sketchy", "original", "soft", "imagefolder"],
+                   choices=["sketchy", "original", "soft", "triple",
+                            "imagefolder"],
                    help="imagefolder = class-per-subfolder classification "
                         "tree (the T5 recipe's ImageFolder surface, "
-                        "train/train_vit_crossentropy.py:50)")
+                        "train/train_vit_crossentropy.py:50); triple = the "
+                        "T4 photo/+sketch/ class-folder triplet layout "
+                        "(data/triplet_dataset.py) with a seeded "
+                        "--val_fraction holdout")
     p.add_argument("--val_fraction", type=float, default=0.2,
                    help="imagefolder train/val holdout (reference "
                         "random_split 80/20)")
@@ -126,6 +130,7 @@ def run(args: argparse.Namespace) -> None:
     from imageretrievalresearch_tpu.data import (
         OriginalImageDataset,
         SketchyImageDataset,
+        TripleDataset,
         TripletImageDataset,
         TripletLoader,
     )
@@ -161,6 +166,18 @@ def run(args: argparse.Namespace) -> None:
                 kw.update(load_images=True,
                           cache_size=args.host_size or cfg.image_size)
             return ImageFolderDataset(**kw)
+
+        tr_ds, val_ds = make_ds("train"), make_ds("val")
+    elif cfg.dataset == "triple":
+        # T4 surface: <ims_path>/photo/<class>/* + <ims_path>/sketch/<class>/*
+        # (reference train/train_vit_triplet.py:17,52 — TripleDataset with a
+        # random train/val holdout, here seeded)
+        def make_ds(split):
+            return TripleDataset(
+                photo_root=os.path.join(cfg.ims_path, "photo"),
+                sketch_root=os.path.join(cfg.ims_path, "sketch"),
+                seed=cfg.seed, split=split,
+                val_fraction=cfg.val_fraction)
 
         tr_ds, val_ds = make_ds("train"), make_ds("val")
     else:
@@ -201,12 +218,13 @@ def run(args: argparse.Namespace) -> None:
                                  seed=cfg.seed, host_size=host_size,
                                  use_native=args.use_native_loader,
                                  **proc_kw)
-    # imagefolder validation mirrors the reference's DataLoader
-    # (shuffle=False, drop_last=False, train_vit_crossentropy.py:63): eval
-    # order is deterministic and the partial final batch is scored exactly
+    # imagefolder/triple validation mirrors the reference's random_split
+    # DataLoaders (shuffle=False, drop_last=False,
+    # train_vit_crossentropy.py:63, train_vit_triplet.py:52): eval order
+    # is deterministic and the partial final batch is scored exactly
     # (unsharded remainder path in Trainer._eval_batches)
     val_kw = (dict(shuffle=False, drop_last=False)
-              if cfg.dataset == "imagefolder"
+              if cfg.dataset in ("imagefolder", "triple")
               else dict(shuffle=True, drop_last=True))
     val_loader = (TripletLoader(val_ds, cfg.batch_size,
                                 num_workers=cfg.num_workers,

@@ -49,12 +49,26 @@ class TripleDataset:
     """
 
     def __init__(self, photo_root: str, sketch_root: str,
-                 transform=None, seed: int = 0):
+                 transform=None, seed: int = 0, split: str = "all",
+                 val_fraction: float = 0.2):
+        """``split='train'|'val'`` holds out a seeded ``val_fraction`` of
+        the photo queries (the reference T4 flow splits its TripleDataset
+        with a fixed ``random_split([5000, 474])``,
+        train/train_vit_triplet.py:52 — we generalize the ratio and pin
+        the seed)."""
+        if split not in ("all", "train", "val"):
+            raise ValueError(f"split must be all|train|val, got {split!r}")
         self.transform = transform
         classes, class_to_idx = find_classes(photo_root)
         self.photo_root = photo_root
         self.sketch_root = sketch_root
         self.photo_paths = sorted(make_dataset(self.photo_root))
+        if split != "all":
+            n = len(self.photo_paths)
+            n_train = int(n * (1.0 - val_fraction))
+            perm = np.random.default_rng(seed).permutation(n)
+            keep = perm[:n_train] if split == "train" else perm[n_train:]
+            self.photo_paths = [self.photo_paths[i] for i in np.sort(keep)]
         self.classes = classes
         self.class_to_idx = class_to_idx
         self.len = len(self.photo_paths)
@@ -68,6 +82,11 @@ class TripleDataset:
 
     def __len__(self) -> int:
         return self.len
+
+    def get_cat_length(self) -> int:
+        """Number of classes (name parity with the other datasets so the
+        train CLI sizes the classifier head uniformly)."""
+        return len(self.classes)
 
     def _getrelate_sketch(self, photo_path: str,
                           rng: np.random.Generator) -> tuple[str, str, int]:

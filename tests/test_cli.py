@@ -81,6 +81,36 @@ class TestTrainCLIImageFolder:
         assert top1 and all(0.0 <= v <= 1.0 for v in top1)
 
 
+class TestTrainCLITriple:
+    def test_t4_layout_trains_end_to_end(self, tmp_path):
+        """--dataset triple: the T4 photo/+sketch/ class-folder layout
+        (reference train/train_vit_triplet.py:17,52) trains through the
+        CLI with a seeded holdout; cos-only loss per the T4 recipe."""
+        from imageretrievalresearch_tpu.cli.train import build_parser, run
+        from imageretrievalresearch_tpu.data.synthetic import (
+            make_classfolder_tree,
+        )
+
+        root = str(tmp_path / "t4")
+        make_classfolder_tree(root, n_classes=3, n_photos=8, n_sketches=4,
+                              size=32)
+        save = str(tmp_path / "models")
+        args = build_parser().parse_args([
+            "--dataset", "triple", "--ims_path", root,
+            "--model_name", "efficientnet_b0",
+            "-ofm", "True", "-otl", "None", "--cos_margin", "0.2",
+            "--batch_size", "8", "--image_size", "32",
+            "--max_epochs", "1", "--compute_dtype", "float32",
+            "--num_workers", "2", "-sp", save, "--learning_rate", "1e-3",
+        ])
+        run(args)
+        ckpt_dir = os.path.join(save, "efficientnet_b0_Adam_0.001")
+        logged = [json.loads(l) for l in
+                  open(os.path.join(ckpt_dir, "metrics.jsonl"))]
+        keys = set().union(*(set(r) for r in logged))
+        assert {"val_loss", "cos_sims", "val_top1"} <= keys
+
+
 class TestFindLRCLI:
     def test_sweep_train_after_and_pickled_results(self, tree, tmp_path):
         """End-to-end `find_lr` run the way the reference uses it
