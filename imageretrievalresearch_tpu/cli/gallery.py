@@ -235,6 +235,12 @@ def _load_stack(args, idx=None):
     def embed_fn(batch_u8):
         return np.asarray(jit_embed(variables, tfm(batch_u8)))
 
+    # the serve path fuses transform+embed+rank into one jitted dispatch —
+    # expose the raw pieces alongside the convenience embed_fn
+    embed_fn.backbone = backbone
+    embed_fn.variables = variables
+    embed_fn.tfm = tfm
+
     tag = (f"gallery: {len(idx)} items, dim {idx.dim}, "
            if idx is not None else "")
     print(f"{tag}model {model_name}, transform {transform}@{input_size}",
@@ -283,19 +289,11 @@ def _build(args) -> None:
           file=sys.stderr)
 
 
-def _rank(idx, queries, args):
-    """Shared ranking + record building for query/serve."""
-    kw = dict(method=args.method, matmul_dtype=args.matmul_dtype)
-    k = min(args.topk, len(idx))
-    if args.num_unique:
-        vals, inds, classes = idx.query_class_dedup(
-            queries, k=k, num_unique=args.num_unique, **kw)
-    else:
-        vals, inds, classes = idx.query(queries, k=k, **kw)
-    gpaths = idx.paths
+def _records(vals, inds, classes, gpaths):
+    """JSON-able per-query records from ranking arrays (query + serve)."""
     has_paths = any(gpaths)      # hoisted: O(G) scan once, not per record
     records = []
-    for qi in range(len(queries)):
+    for qi in range(len(vals)):
         # dedup pads with -1/-inf when fewer than num_unique classes exist
         # within the top-k candidates — drop the filler from served output
         keep = [int(x) >= 0 for x in inds[qi]]
@@ -310,25 +308,38 @@ def _rank(idx, queries, args):
     return records
 
 
+def _rank(idx, queries, args):
+    """Shared ranking + record building for query/serve."""
+    kw = dict(method=args.method, matmul_dtype=args.matmul_dtype)
+    k = min(args.topk, len(idx))
+    if args.num_unique:
+        vals, inds, classes = idx.query_class_dedup(
+            queries, k=k, num_unique=args.num_unique, **kw)
+    else:
+        vals, inds, classes = idx.query(queries, k=k, **kw)
+    return _records(vals, inds, classes, idx.paths)
+
+
 class _MicroBatcher:
     """Coalesce concurrent /search requests into one device dispatch.
 
     ThreadingHTTPServer gives every POST its own thread; instead of a
-    global lock serializing one embed+rank per request, request threads
+    global lock serializing one search per request, request threads
     enqueue their decoded image and a single worker drains up to
-    ``max_batch`` waiting requests into ONE embed dispatch (padded to the
-    next power of two so at most log2(max_batch)+1 embed programs ever
-    compile) plus one rank dispatch per distinct requested num_unique.
-    Under concurrency this turns N model forwards into ceil(N/max_batch).
-    The worker is the only device user — the lock disappears.
+    ``max_batch`` waiting requests into ONE ``search_fn(images,
+    num_unique)`` call per distinct requested num_unique (images padded
+    to the next power of two so at most log2(max_batch)+1 programs ever
+    compile per num_unique). Under concurrency this turns N device
+    round trips into ceil(N/max_batch). The worker is the only device
+    user — no lock needed.
     """
 
-    def __init__(self, embed_fn, rank_fn, max_batch: int = 8,
+    def __init__(self, search_fn, max_batch: int = 8,
                  window_s: float = 0.010):
         import queue
         import threading
 
-        self.embed_fn, self.rank_fn = embed_fn, rank_fn
+        self.search_fn = search_fn
         self.max_batch = max_batch
         # after the first request arrives, wait up to this long for
         # stragglers before dispatching: one device round trip costs
@@ -383,17 +394,15 @@ class _MicroBatcher:
                 except queue.Empty:
                     break
             self.requests += len(items)
-            self.dispatches += 1
             try:
-                xs = np.concatenate([it["x"] for it in items])
-                xs, n = self._pad_pow2(xs)
-                queries = self.embed_fn(xs)[:n]
                 by_nu: dict[int, list[int]] = {}
                 for i, it in enumerate(items):
                     by_nu.setdefault(it["nu"], []).append(i)
                 for nu, idxs in by_nu.items():
-                    sub, m = self._pad_pow2(queries[idxs])
-                    recs = self.rank_fn(sub, nu)[:m]
+                    xs = np.concatenate([items[i]["x"] for i in idxs])
+                    xs, m = self._pad_pow2(xs)
+                    self.dispatches += 1
+                    recs = self.search_fn(xs, nu)[:m]
                     for i, rec in zip(idxs, recs):
                         items[i]["rec"] = rec
             except Exception as e:  # noqa: BLE001 — relayed per request
@@ -438,13 +447,47 @@ def _make_server(args):
             im = im.resize((input_size, input_size), Image.BILINEAR)
             return np.asarray(im, np.uint8)[None]
 
-    def rank_fn(queries, num_unique):
-        req = argparse.Namespace(
-            topk=args.topk, num_unique=num_unique,
-            method=args.method, matmul_dtype=args.matmul_dtype)
-        return _rank(idx, queries, req)
+    # ONE jitted program per (batch-pow2, num_unique): transform + embed +
+    # rank + dedup fused into a single device dispatch and a single result
+    # fetch. The unfused path (embed_fn -> idx.query -> dedup) costs 3
+    # dispatches + 3 fetches per request group — ~6 transport round trips
+    # at ~28 ms each over this sandbox's remote link.
+    import functools
 
-    batcher = _MicroBatcher(embed_fn, rank_fn,
+    import jax
+    import jax.numpy as jnp
+
+    from imageretrievalresearch_tpu import metrics as M
+    from imageretrievalresearch_tpu.ops.retrieval import cosine_topk
+
+    backbone, variables, tfm = (embed_fn.backbone, embed_fn.variables,
+                                embed_fn.tfm)
+    k = min(args.topk, len(idx))
+    prepared = idx._gallery_on_device(args.matmul_dtype)
+    g_dev, g_scale = (prepared if isinstance(prepared, tuple)
+                      else (prepared, None))
+    classes_dev = idx._classes_on_device()
+
+    @functools.partial(jax.jit, static_argnames=("nu",))
+    def _search(x_u8, variables, g, g_scale, classes, nu):
+        q = backbone.embed(variables, tfm(x_u8), train=False)
+        vals, inds = cosine_topk(q.astype(jnp.float32), g, k,
+                                 method=args.method,
+                                 matmul_dtype=args.matmul_dtype,
+                                 gallery_scale=g_scale)
+        if nu:
+            uniq = jax.vmap(lambda i, v: M.unique_class_dedup(
+                i, v, classes, num_unique=nu))(inds, vals)
+            uniq_inds, uniq_vals, uniq_cls = uniq
+            return uniq_vals, uniq_inds, uniq_cls
+        return vals, inds, classes[inds]
+
+    def search_fn(xs, nu):
+        out = _search(xs, variables, g_dev, g_scale, classes_dev, nu)
+        vals, inds, cls = map(np.asarray, out)
+        return _records(vals, inds, cls, idx.paths)
+
+    batcher = _MicroBatcher(search_fn,
                             max_batch=getattr(args, "max_batch", 8))
 
     class Handler(BaseHTTPRequestHandler):

@@ -438,14 +438,11 @@ class TestGalleryCLI:
 
         from imageretrievalresearch_tpu.cli.gallery import _MicroBatcher
 
-        def slow_embed(xs):
+        def slow_search(xs, nu):
             time.sleep(0.15)           # hold the worker so requests pile up
-            return xs[:, 0, 0, :1].astype(np.float32)   # (N, 1) marker
+            return [{"marker": float(x[0, 0, 0]), "nu": nu} for x in xs]
 
-        def rank(queries, nu):
-            return [{"marker": float(q[0]), "nu": nu} for q in queries]
-
-        b = _MicroBatcher(slow_embed, rank, max_batch=8)
+        b = _MicroBatcher(slow_search, max_batch=8)
         results = {}
 
         def post(i):
@@ -472,10 +469,10 @@ class TestGalleryCLI:
 
         from imageretrievalresearch_tpu.cli.gallery import _MicroBatcher
 
-        def bad_embed(xs):
+        def bad_search(xs, nu):
             raise RuntimeError("boom")
 
-        b = _MicroBatcher(bad_embed, lambda q, nu: [], max_batch=4)
+        b = _MicroBatcher(bad_search, max_batch=4)
         with pytest.raises(RuntimeError, match="boom"):
             b.submit(np.zeros((1, 2, 2, 3), np.uint8), 0)
 

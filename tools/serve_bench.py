@@ -138,20 +138,16 @@ def main() -> None:
     # XLA programs; compiles over the remote transport cost ~minutes and
     # must not land inside the timed window)
     t0 = time.perf_counter()
-    dim = None
     for n in (1, 2, 4):
-        q = srv.batcher.embed_fn(np.zeros((n, args.size, args.size, 3),
-                                          np.uint8))
-        dim = q.shape[1]
-        srv.batcher.rank_fn(q.astype(np.float32), 3)   # rank program per Q
+        srv.batcher.search_fn(
+            np.zeros((n, args.size, args.size, 3), np.uint8), 3)
         print(f"  warmed batch {n}: {time.perf_counter() - t0:.0f}s",
               file=sys.stderr)
     for _ in range(2):
         req = urllib.request.Request(base + "/search", data=body,
                                      method="POST")
         urllib.request.urlopen(req, timeout=300).read()
-    print(f"warmup: {time.perf_counter() - t0:.0f}s (dim {dim})",
-          file=sys.stderr)
+    print(f"warmup: {time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
     results = {"gallery_items": 256, "image_size": args.size,
                "matmul_dtype": "int8"}
