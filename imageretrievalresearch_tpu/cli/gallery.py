@@ -30,8 +30,9 @@ import argparse
 import json
 import sys
 from pathlib import Path
+from typing import NamedTuple
 
-_IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+from imageretrievalresearch_tpu.data.splits import IMG_EXTS as _IMG_EXTS
 
 # reject absurd /search bodies before buffering them (a single huge POST
 # would otherwise exhaust host memory); 32 MB comfortably fits any real
@@ -183,10 +184,24 @@ def _decode(paths: list[Path], host_size: int | None,
     return np.stack(arrs)
 
 
-def _load_stack(args, idx=None):
+class _ModelStack(NamedTuple):
+    """A resident model + its eval transform, as resolved by
+    :func:`_load_stack`. ``embed_fn(uint8_batch) -> (N, dim)`` is the
+    convenience path; the raw pieces (backbone/variables/tfm) let the
+    serve path fuse transform+embed+rank into one jitted dispatch."""
+
+    embed_fn: object
+    transform: str
+    input_size: int
+    backbone: object
+    variables: object
+    tfm: object
+
+
+def _load_stack(args, idx=None) -> "_ModelStack":
     """Resolve model/transform from args + (optionally) an artifact's
-    recorded meta and return ``(embed_fn, transform_name, input_size)``
-    with the model resident. ``embed_fn(uint8_batch) -> (N, dim)``."""
+    recorded meta and return a :class:`_ModelStack` with the model
+    resident."""
     import contextlib
 
     import jax
@@ -235,17 +250,12 @@ def _load_stack(args, idx=None):
     def embed_fn(batch_u8):
         return np.asarray(jit_embed(variables, tfm(batch_u8)))
 
-    # the serve path fuses transform+embed+rank into one jitted dispatch —
-    # expose the raw pieces alongside the convenience embed_fn
-    embed_fn.backbone = backbone
-    embed_fn.variables = variables
-    embed_fn.tfm = tfm
-
     tag = (f"gallery: {len(idx)} items, dim {idx.dim}, "
            if idx is not None else "")
     print(f"{tag}model {model_name}, transform {transform}@{input_size}",
           file=sys.stderr)
-    return embed_fn, transform, input_size
+    return _ModelStack(embed_fn, transform, input_size,
+                       backbone, variables, tfm)
 
 
 def _build(args) -> None:
@@ -260,7 +270,7 @@ def _build(args) -> None:
         raise SystemExit(f"no class subfolders under {root}")
     if args.num_classes is None:
         args.num_classes = len(class_dirs)
-    embed_fn, transform, input_size = _load_stack(args)
+    embed_fn, transform, input_size = _load_stack(args)[:3]
 
     idx = None
     for ci, cdir in enumerate(class_dirs):
@@ -394,23 +404,25 @@ class _MicroBatcher:
                 except queue.Empty:
                     break
             self.requests += len(items)
-            try:
-                by_nu: dict[int, list[int]] = {}
-                for i, it in enumerate(items):
-                    by_nu.setdefault(it["nu"], []).append(i)
-                for nu, idxs in by_nu.items():
+            by_nu: dict[int, list[int]] = {}
+            for i, it in enumerate(items):
+                by_nu.setdefault(it["nu"], []).append(i)
+            for nu, idxs in by_nu.items():
+                # failures are scoped to the group that dispatched them:
+                # a raise here must not clobber results other num_unique
+                # groups in the same drain already computed
+                try:
                     xs = np.concatenate([items[i]["x"] for i in idxs])
                     xs, m = self._pad_pow2(xs)
                     self.dispatches += 1
                     recs = self.search_fn(xs, nu)[:m]
                     for i, rec in zip(idxs, recs):
                         items[i]["rec"] = rec
-            except Exception as e:  # noqa: BLE001 — relayed per request
-                for it in items:
-                    it["err"] = e
-            finally:
-                for it in items:
-                    it["ev"].set()
+                except Exception as e:  # noqa: BLE001 — relayed per request
+                    for i in idxs:
+                        items[i]["err"] = e
+            for it in items:
+                it["ev"].set()
 
 
 def _serve(args) -> None:
@@ -433,7 +445,8 @@ def _make_server(args):
     from imageretrievalresearch_tpu.retrieval import GalleryIndex
 
     idx = GalleryIndex.load(args.gallery)
-    embed_fn, transform, input_size = _load_stack(args, idx)
+    stack = _load_stack(args, idx)
+    transform, input_size = stack.transform, stack.input_size
 
     def decode_canonical(body: bytes) -> np.ndarray:
         """One fixed device shape per server (no per-size recompiles):
@@ -460,8 +473,7 @@ def _make_server(args):
     from imageretrievalresearch_tpu import metrics as M
     from imageretrievalresearch_tpu.ops.retrieval import cosine_topk
 
-    backbone, variables, tfm = (embed_fn.backbone, embed_fn.variables,
-                                embed_fn.tfm)
+    backbone, variables, tfm = stack.backbone, stack.variables, stack.tfm
     k = min(args.topk, len(idx))
     prepared = idx._gallery_on_device(args.matmul_dtype)
     g_dev, g_scale = (prepared if isinstance(prepared, tuple)
@@ -575,7 +587,7 @@ def run(args: argparse.Namespace) -> None:
     idx = GalleryIndex.load(args.gallery)
     paths = _collect_images(args.images)
     print(f"{len(paths)} query images", file=sys.stderr)
-    embed_fn, transform, _ = _load_stack(args, idx)
+    embed_fn, transform = _load_stack(args, idx)[:2]
 
     embeds = []
     for i in range(0, len(paths), args.batch_size):

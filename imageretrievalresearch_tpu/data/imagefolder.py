@@ -22,7 +22,7 @@ from pathlib import Path
 import numpy as np
 from PIL import Image
 
-_IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+from imageretrievalresearch_tpu.data.splits import IMG_EXTS, seeded_holdout
 
 
 class ImageFolderDataset:
@@ -61,18 +61,13 @@ class ImageFolderDataset:
         samples: list[tuple[str, int]] = []
         for ci, cdir in enumerate(class_dirs):
             for p in sorted(cdir.rglob("*")):
-                if p.suffix.lower() in _IMG_EXTS:
+                if p.suffix.lower() in IMG_EXTS:
                     samples.append((str(p), ci))
         if not samples:
             raise ValueError(f"no images under {root}")
 
-        if split != "all":
-            n = len(samples)
-            n_train = int(n * (1.0 - val_fraction))
-            perm = np.random.default_rng(seed).permutation(n)
-            keep = perm[:n_train] if split == "train" else perm[n_train:]
-            samples = [samples[i] for i in np.sort(keep)]
-        self.samples = samples
+        self.samples = seeded_holdout(samples, split,
+                                      val_fraction=val_fraction, seed=seed)
         self.split = split
 
         self._cache: list[np.ndarray] | None = None

@@ -30,6 +30,34 @@ import json
 import os
 import random as _random
 
+import numpy as np
+
+#: image suffixes recognized when walking class-per-subfolder trees
+#: (ImageFolderDataset, the gallery-build CLI)
+IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+
+
+def seeded_holdout(items: list, split: str, *, val_fraction: float = 0.2,
+                   seed: int = 42) -> list:
+    """Seeded train/val permutation holdout, original order preserved.
+
+    The shared replacement for the reference's unseeded torch
+    ``random_split`` (train/train_vit_crossentropy.py:59,
+    train/train_vit_triplet.py:52 — both draw from the global torch RNG
+    before ``seed_everything`` runs, so their splits are irreproducible;
+    we pin the permutation). ``split='all'`` returns ``items`` unchanged;
+    ``'train'``/``'val'`` return the complementary seeded subsets.
+    """
+    if split == "all":
+        return items
+    if split not in ("train", "val"):
+        raise ValueError(f"split must be all|train|val, got {split!r}")
+    n = len(items)
+    n_train = int(n * (1.0 - val_fraction))
+    perm = np.random.default_rng(seed).permutation(n)
+    keep = perm[:n_train] if split == "train" else perm[n_train:]
+    return [items[i] for i in np.sort(keep)]
+
 
 def _read_train_essentials(train_essentials: str) -> list[str]:
     """Read essential-class names from a csv (reference sketch_dataset.py:30-34)."""

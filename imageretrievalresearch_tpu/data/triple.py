@@ -18,6 +18,8 @@ from glob import glob
 import numpy as np
 from PIL import Image
 
+from imageretrievalresearch_tpu.data.splits import seeded_holdout
+
 
 def find_classes(root: str) -> tuple[list[str], dict[str, int]]:
     """Sorted class-dir discovery (reference data/triplet_dataset.py:9-13)."""
@@ -62,13 +64,9 @@ class TripleDataset:
         classes, class_to_idx = find_classes(photo_root)
         self.photo_root = photo_root
         self.sketch_root = sketch_root
-        self.photo_paths = sorted(make_dataset(self.photo_root))
-        if split != "all":
-            n = len(self.photo_paths)
-            n_train = int(n * (1.0 - val_fraction))
-            perm = np.random.default_rng(seed).permutation(n)
-            keep = perm[:n_train] if split == "train" else perm[n_train:]
-            self.photo_paths = [self.photo_paths[i] for i in np.sort(keep)]
+        self.photo_paths = seeded_holdout(
+            sorted(make_dataset(self.photo_root)), split,
+            val_fraction=val_fraction, seed=seed)
         self.classes = classes
         self.class_to_idx = class_to_idx
         self.len = len(self.photo_paths)

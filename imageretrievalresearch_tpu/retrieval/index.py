@@ -164,25 +164,40 @@ class GalleryIndex:
 
     @classmethod
     def load(cls, path: str | Path) -> "GalleryIndex":
-        with np.load(path, allow_pickle=False) as z:
-            meta = json.loads(bytes(z["meta"].tobytes()).decode())
-            if meta.pop("version") not in (_FORMAT_VERSION,
-                                           _FORMAT_VERSION_COMPACT):
-                raise ValueError(f"unsupported gallery format in {path}")
-            store_dtype = meta.pop("store_dtype", "float32")
-            idx = cls(meta.pop("dim"), meta=meta)
-            e = z["embeddings"]
-            if store_dtype == "bfloat16":
-                import ml_dtypes
-                e = e.view(ml_dtypes.bfloat16).astype(np.float32)
-            elif store_dtype == "int8":
-                e = e.astype(np.float32) * z["scales"]
-            else:
-                e = e.astype(np.float32)
-            if e.shape[0]:
-                idx._embeds = [e]
-                idx._classes = [z["classes"].astype(np.int32)]
-                idx._paths = [str(p) for p in z["paths"]]
+        try:
+            with np.load(path, allow_pickle=False) as z:
+                meta = json.loads(bytes(z["meta"].tobytes()).decode())
+                if meta.pop("version") not in (_FORMAT_VERSION,
+                                               _FORMAT_VERSION_COMPACT):
+                    raise ValueError(
+                        f"unsupported gallery format in {path}")
+                store_dtype = meta.pop("store_dtype", "float32")
+                idx = cls(meta.pop("dim"), meta=meta)
+                e = z["embeddings"]
+                if store_dtype == "bfloat16":
+                    import ml_dtypes
+                    e = e.view(ml_dtypes.bfloat16).astype(np.float32)
+                elif store_dtype == "int8":
+                    e = e.astype(np.float32) * z["scales"]
+                else:
+                    e = e.astype(np.float32)
+                if e.shape[0]:
+                    idx._embeds = [e]
+                    idx._classes = [z["classes"].astype(np.int32)]
+                    # npz member reads are lazy: a pre-hardening artifact
+                    # whose paths were pickled (dtype=object) raises HERE,
+                    # not at np.load — hence the wrapper around the body
+                    idx._paths = [str(p) for p in z["paths"]]
+        except ValueError as err:
+            if ("allow_pickle" in str(err)
+                    or "Object arrays" in str(err)):
+                raise ValueError(
+                    f"{path} was saved by an older version that pickled "
+                    "its path metadata; this loader refuses pickled "
+                    "payloads (arbitrary code execution risk). Rebuild "
+                    "the artifact with `gallery build` / save()."
+                ) from err
+            raise
         return idx
 
     # --- querying ---

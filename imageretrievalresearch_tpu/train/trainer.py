@@ -76,8 +76,8 @@ class Trainer:
                  mesh=None, transform=None,
                  metric_transforms: dict | None = None):
         self.cfg = cfg
-        # post-hoc transforms applied to matching epoch validation metrics
-        # before logging/monitoring — the reference's find_lr flow logs
+        # post-hoc transforms applied to each per-batch validation metric
+        # before epoch-averaging/logging — the reference's find_lr flow logs
         # cos_sims through its booster (train/find_lr.py:87-95,337) while
         # the other four recipes log it raw (train/train.py:370)
         self.metric_transforms = dict(metric_transforms or {})
@@ -256,9 +256,21 @@ class Trainer:
         agg = jax.device_get(agg)
         return {k: [float(x) for x in v] for k, v in agg.items()}
 
-    def eval_epoch(self, state: EmbedTrainState, loader=None) -> dict:
+    def eval_epoch(self, state: EmbedTrainState, loader=None,
+                   transforms: dict | None = None) -> dict:
+        """Mean over per-batch eval metrics; ``transforms`` (e.g. the
+        find_lr booster) are applied to each PER-BATCH value before the
+        mean — the reference boosts every logged validation-step value
+        and lets Lightning epoch-average the boosted series
+        (train/find_lr.py:87-95,337), which differs from boosting the
+        epoch mean because the booster is piecewise."""
         agg = self._eval_batches(state, loader or self.val_loader)
-        return {k: float(np.mean(v)) for k, v in agg.items()}
+        out = {}
+        for k, v in agg.items():
+            f = (transforms or {}).get(k)
+            vals = [float(f(x)) for x in v] if f is not None else v
+            out[k] = float(np.mean(vals))
+        return out
 
     def fit(self, state: EmbedTrainState | None = None,
             max_epochs: int | None = None, resume: bool = False
@@ -285,10 +297,8 @@ class Trainer:
             state, train_metrics = self.train_epoch(state, epoch)
             epoch_metrics = dict(train_metrics)
             if self.val_loader is not None:
-                val_metrics = self.eval_epoch(state)
-                for k, f in self.metric_transforms.items():
-                    if k in val_metrics:
-                        val_metrics[k] = float(f(val_metrics[k]))
+                val_metrics = self.eval_epoch(
+                    state, transforms=self.metric_transforms)
                 if not val_metrics:
                     print("[trainer] WARNING: validation loader yielded no "
                           "batches (val split smaller than batch size with "

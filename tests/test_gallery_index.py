@@ -139,6 +139,19 @@ class TestPersistence:
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_allclose(v1, v2)
 
+    def test_legacy_pickled_artifact_rejected_with_remedy(self, tmp_path):
+        """Pre-hardening artifacts pickled their path metadata (dtype=object
+        arrays); load() must refuse them with a rebuild hint, not numpy's
+        opaque allow_pickle message."""
+        f = tmp_path / "legacy.npz"
+        np.savez(f, embeddings=np.zeros((2, 8), np.float32),
+                 classes=np.zeros(2, np.int64),
+                 paths=np.asarray(["a.png", "b.png"], dtype=object),
+                 meta=np.frombuffer(
+                     b'{"version": 1, "dim": 8}', dtype=np.uint8))
+        with pytest.raises(ValueError, match="Rebuild"):
+            GalleryIndex.load(f)
+
     def test_load_then_extend(self, data, tmp_path):
         q, g, c = data
         idx = GalleryIndex(32).add(g[:200], c[:200])

@@ -55,7 +55,10 @@ def embed_all(backbone, variables, imgs: np.ndarray, bs: int = 256
 
     fn = jax.jit(lambda v, x: backbone.embed(v, x, train=False))
     outs = []
-    for i in range(0, len(imgs) - len(imgs) % bs, bs):
+    # the final partial batch is embedded too (one extra compile at the
+    # remainder shape) — silently dropping it would shrink the measured
+    # gallery/query sizes below what the caller asked for
+    for i in range(0, len(imgs), bs):
         x = jnp.asarray(imgs[i:i + bs], jnp.float32) / 255.0
         outs.append(np.asarray(fn(variables, x)))
     return np.concatenate(outs)

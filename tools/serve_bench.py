@@ -34,6 +34,10 @@ def build_artifact(workdir: str, *, n_items: int = 256, size: int = 224
 
     from imageretrievalresearch_tpu.data.synthetic import _class_base
 
+    npz = os.path.join(workdir, f"gal_{size}.npz")
+    if os.path.exists(npz):          # incremental reruns skip ALL build work
+        return npz
+
     root = os.path.join(workdir, "gallery_imgs")
     rng = np.random.default_rng(0)
     for i in range(n_items):
@@ -46,9 +50,6 @@ def build_artifact(workdir: str, *, n_items: int = 256, size: int = 224
         Image.fromarray(arr).save(os.path.join(d, f"{i}.jpg"))
 
     from imageretrievalresearch_tpu.cli.gallery import build_parser, run
-    npz = os.path.join(workdir, f"gal_{size}.npz")
-    if os.path.exists(npz):          # incremental reruns skip the build
-        return npz
     t0 = time.perf_counter()
     run(build_parser().parse_args(
         ["build", npz, root, "-mn", "efficientnet_b0", "-is", str(size),
