@@ -67,3 +67,29 @@ class TestConvergenceParity:
         # plateau (cos_sims ~ 1.0 within float noise of each other)
         bj, bt = out["best_epoch"]["jax"], out["best_epoch"]["torch"]
         assert cs_j[bj] > 0.999 and cs_t[bt] > 0.999
+
+    def test_t4_swin_trains_identically_through_real_trainer(self, tmp_path):
+        """The transformer path (T4: shrunken swin, embed-only, cos 0.2).
+        From-scratch tiny Swin stays in the collapsed cos saddle on this
+        task (the reference trains T4 from PRETRAINED timm weights,
+        train/train_vit_triplet.py:468) — the live claim is trajectory +
+        embedding parity through the real Trainer vs the literal torch
+        loop, at the tolerance measured full-scale in PARITY.md (~1e-7)."""
+        from convergence_parity import run_experiment
+
+        out = run_experiment(str(tmp_path / "cp"), recipe="t4", epochs=4,
+                             batch_size=8, n_cats=4, n_prods=1, n_photos=10,
+                             n_sketches=6, milestones=(2, 3), phase="all")
+
+        tl_j = np.asarray(out["train_loss"]["jax"])
+        tl_t = np.asarray(out["train_loss"]["torch"])
+        n = min(len(tl_j), len(tl_t))
+        assert n >= 3
+        np.testing.assert_allclose(tl_j[:n], tl_t[:n], rtol=1e-3)
+        cs_j = np.asarray(out["cos_sims"]["jax"])[:n]
+        cs_t = np.asarray(out["cos_sims"]["torch"])[:n]
+        np.testing.assert_allclose(cs_j, cs_t, atol=1e-3)
+        for which in ("best", "last"):
+            d = out["final_class_dedup"][which]["abs_diff"]
+            assert d["scores"] < 1e-3, (which, d)
+            assert d["neg_scores"] < 1e-3, (which, d)

@@ -20,6 +20,10 @@ Recipes:
   t3  cos(0.3)+con(0.3)+CE   (train/train_efficient_cos_con_ce_loss.py,
                               the README's best recipe) — AutoAugment is
                               exercised separately by the `aa` mode below
+  t4  cos(0.2) only, Swin embed-only (train/train_vit_triplet.py:357,
+                              head=Identity) — the transformer path,
+                              shrunken swin_tiny vs the literal
+                              TorchSwin replica at 56 px
   aa  T3 in THIS framework twice: device AutoAugment (3-shear rotate,
       ops/autoaugment.py) vs exact host-PIL ImageNetPolicy, plus a
       seed-jittered device run — bounds the TPU path's <=1 px rotate
@@ -129,7 +133,7 @@ class _TorchContrastive:
                 ).mean()
 
 
-def _torch_forward(model, fb):
+def _torch_forward(model, fb, *, arch: str = "cnn"):
     import torch
 
     qry = torch.from_numpy(fb["qry"].transpose(0, 3, 1, 2))
@@ -137,21 +141,34 @@ def _torch_forward(model, fb):
     neg = torch.from_numpy(fb["neg"][0].transpose(0, 3, 1, 2))
     b = qry.shape[0]
     x = torch.cat([qry, pos, neg], dim=0)
-    fm = model.forward_features(x).mean((2, 3))
-    logits = model.classifier(fm)
-    return (fm[:b], fm[b:2 * b], fm[2 * b:]), (logits[:b], logits[b:2 * b]), b
+    if arch == "swin":
+        # tokens -> mean pool (timm 0.4.12 pools inside forward_features;
+        # reference train_vit_triplet.py:357 runs head=Identity on it)
+        fm = model.forward_features(x).mean(1)
+        logits = (None, None)
+    else:
+        fm = model.forward_features(x).mean((2, 3))
+        lg = model.classifier(fm)
+        logits = (lg[:b], lg[b:2 * b])
+    return (fm[:b], fm[b:2 * b], fm[2 * b:]), logits, b
+
+
+def _arch(cfg) -> str:
+    return "swin" if cfg.model_name.startswith("swin") else "cnn"
 
 
 def _torch_loss(model, fb, cfg):
     import torch
 
-    (fm_q, fm_p, fm_n), (lb_q, lb_p), b = _torch_forward(model, fb)
-    lbl = torch.from_numpy(fb["cat_idx"]).long()
+    (fm_q, fm_p, fm_n), (lb_q, lb_p), b = _torch_forward(model, fb,
+                                                         arch=_arch(cfg))
     cos = torch.nn.CosineEmbeddingLoss(margin=cfg.cos_margin)
-    ce = torch.nn.CrossEntropyLoss()
     ones = torch.ones(b)
-    loss = (cos(fm_q, fm_p, ones) + cos(fm_q, fm_n, -ones)
-            + ce(lb_q, lbl) + ce(lb_p, lbl))
+    loss = cos(fm_q, fm_p, ones) + cos(fm_q, fm_n, -ones)
+    if cfg.loss_mode != "cos_only":
+        lbl = torch.from_numpy(fb["cat_idx"]).long()
+        ce = torch.nn.CrossEntropyLoss()
+        loss = loss + ce(lb_q, lbl) + ce(lb_p, lbl)
     if cfg.loss_mode == "cos_con_ce":
         con = _TorchContrastive(cfg.con_margin)
         loss = loss + con(fm_q, fm_p, ones) + con(fm_q, fm_n, 1 - ones)
@@ -234,7 +251,8 @@ def torch_eval_epoch(cfg, tmodel, val_loader) -> dict:
 
 # ------------------------------------------------------------ final eval --
 
-def final_class_dedup(backbone, variables, torch_model, eval_loader):
+def final_class_dedup(backbone, variables, torch_model, eval_loader,
+                      *, arch: str = "cnn"):
     """Embed the held-out split with both best models and run the full
     notebook-semantics class-dedup evaluation on each."""
     import torch
@@ -258,7 +276,8 @@ def final_class_dedup(backbone, variables, torch_model, eval_loader):
     with torch.no_grad():
         for b in eval_loader:
             fb = _to_float(b)
-            (fm_q, fm_p, fm_n), _, _ = _torch_forward(torch_model, fb)
+            (fm_q, fm_p, fm_n), _, _ = _torch_forward(torch_model, fb,
+                                                      arch=arch)
             fms["fms_ims_all"].append(fm_q.numpy())
             fms["fms_poss_all"].append(fm_p.numpy())
             fms["fms_negs_all"].append(fm_n.numpy())
@@ -306,19 +325,39 @@ def _setup(workdir: str, *, recipe: str, epochs: int, batch_size: int,
     tree, split = build_data(workdir, n_cats=n_cats, n_prods=n_prods,
                              n_photos=n_photos, n_sketches=n_sketches,
                              size=size)
-    cfg = TrainConfig(model_name="efficientnet_b0", batch_size=batch_size,
-                      image_size=size, compute_dtype="float32",
-                      learning_rate=lr, weight_decay=wd,
-                      milestones=tuple(milestones), max_epochs=epochs,
-                      use_contrastive=recipe == "t3",
-                      cos_margin=0.3 if recipe == "t3" else 0.5,
-                      con_margin=0.3)
     torch.manual_seed(0)
     n_cls = make_loader(tree, split, "train",
                         batch_size).dataset.get_cat_length()
-    tmodel = TorchEffNet(width_mult=0.5, depth_mult=0.1, num_classes=n_cls)
-    bb = create_model("efficientnet_b0", num_classes=n_cls, depth_mult=0.1,
-                      width_mult=0.5, drop_rate=0.0)
+    if recipe == "t4":
+        # the transformer path: shrunken swin_tiny, embedding-only
+        # cosine loss margin 0.2 (train/train_vit_triplet.py:357,468)
+        from test_convert_swin import TorchSwin
+
+        cfg = TrainConfig(model_name="swin_tiny_patch4_window7_224",
+                          batch_size=batch_size, image_size=size,
+                          compute_dtype="float32", learning_rate=lr,
+                          weight_decay=wd, milestones=tuple(milestones),
+                          max_epochs=epochs, cos_margin=0.2,
+                          only_feature_embeddings=True,
+                          only_target_labels=None)
+        assert cfg.loss_mode == "cos_only"
+        tmodel = TorchSwin(num_classes=n_cls)
+        bb = create_model(cfg.model_name, num_classes=n_cls, img_size=size,
+                          embed_dim=24, depths=(2, 2), num_heads=(2, 4),
+                          window_sizes=(7, 7), drop_path_rate=0.0)
+    else:
+        cfg = TrainConfig(model_name="efficientnet_b0",
+                          batch_size=batch_size,
+                          image_size=size, compute_dtype="float32",
+                          learning_rate=lr, weight_decay=wd,
+                          milestones=tuple(milestones), max_epochs=epochs,
+                          use_contrastive=recipe == "t3",
+                          cos_margin=0.3 if recipe == "t3" else 0.5,
+                          con_margin=0.3)
+        tmodel = TorchEffNet(width_mult=0.5, depth_mult=0.1,
+                             num_classes=n_cls)
+        bb = create_model("efficientnet_b0", num_classes=n_cls,
+                          depth_mult=0.1, width_mult=0.5, drop_rate=0.0)
     variables = bb.init(jax.random.key(0),
                         jnp.zeros((1, size, size, 3)))
     variables = convert_torch_state_dict(tmodel.state_dict(), bb, variables,
@@ -327,7 +366,7 @@ def _setup(workdir: str, *, recipe: str, epochs: int, batch_size: int,
 
 
 def run_experiment(workdir: str, *, recipe: str = "t3", epochs: int = 6,
-                   batch_size: int = 8, size: int = 32,
+                   batch_size: int | None = None, size: int | None = None,
                    n_cats: int = 6, n_prods: int = 2, n_photos: int = 10,
                    n_sketches: int = 6, milestones=(3, 5),
                    lr: float = 1e-3, wd: float = 1e-5,
@@ -341,6 +380,14 @@ def run_experiment(workdir: str, *, recipe: str = "t3", epochs: int = 6,
 
     import torch
 
+    # per-recipe defaults: t4 needs 56 px (floor for two 7-window swin
+    # stages at patch 4); its standalone runs use batch 4 to fit the
+    # ~590 s phase budget, but an explicit batch_size (e.g. 8 under the
+    # CI virtual-8-device mesh, which must divide the batch) wins
+    if size is None:
+        size = 56 if recipe == "t4" else 32
+    if batch_size is None:
+        batch_size = 4 if recipe == "t4" else 8
     tree, split, cfg, tmodel, bb, variables = _setup(
         workdir, recipe=recipe, epochs=epochs, batch_size=batch_size,
         size=size, n_cats=n_cats, n_prods=n_prods, n_photos=n_photos,
@@ -387,7 +434,7 @@ def run_experiment(workdir: str, *, recipe: str = "t3", epochs: int = 6,
     for which in ("best", "last"):
         tmodel.load_state_dict(tsd[which])
         jfinal, tfinal = final_class_dedup(bb, jv[which], tmodel,
-                                           eval_loader)
+                                           eval_loader, arch=_arch(cfg))
         final[which] = {
             "jax": jfinal, "torch": tfinal,
             "abs_diff": {k: abs(jfinal[k] - tfinal[k]) for k in jfinal},
@@ -626,7 +673,8 @@ def run_aa_experiment(workdir: str, *, epochs: int = 6, batch_size: int = 8,
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--recipe", choices=["t1", "t3", "aa"], default="t3")
+    p.add_argument("--recipe", choices=["t1", "t3", "t4", "aa"],
+                   default="t3")
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--workdir", default="/tmp/convergence_parity")
     p.add_argument("--out", default=None)
@@ -639,6 +687,7 @@ def main() -> None:
     p.add_argument("--milestones", type=int, nargs="+", default=[3, 5],
                    help="MultiStepLR decay epochs (scaled-down reference "
                         "schedule)")
+    p.add_argument("--lr", type=float, default=1e-3)
     args = p.parse_args()
 
     import jax
@@ -652,7 +701,7 @@ def main() -> None:
                                 milestones=ms)
     else:
         out = run_experiment(wd, recipe=args.recipe, epochs=args.epochs,
-                             phase=args.phase, milestones=ms)
+                             phase=args.phase, milestones=ms, lr=args.lr)
     if out is None:
         print(f"phase done ({args.phase or args.aa_run}); artifacts in {wd}")
         return
