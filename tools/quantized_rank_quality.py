@@ -89,7 +89,7 @@ def rank_agreement(q: np.ndarray, g: np.ndarray, *, k: int = 150) -> dict:
     return out
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--parity_dir", default="/tmp/cparity/t1",
                    help="convergence_parity t1 workdir (jax_best.pkl)")
@@ -97,7 +97,7 @@ def main() -> None:
     p.add_argument("--queries", type=int, default=512)
     p.add_argument("--k", type=int, default=150)
     p.add_argument("--out", default=None)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import jax
 

@@ -98,13 +98,15 @@ def run_load(base: str, body: bytes, *, concurrency: int, seconds: float
     }
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", default="/tmp/serve_bench")
     p.add_argument("--seconds", type=float, default=15.0)
     p.add_argument("--size", type=int, default=160)
+    p.add_argument("--n_items", type=int, default=256,
+                   help="gallery size (smaller for CPU smoke runs)")
     p.add_argument("--out", default=None)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import jax
 
@@ -115,7 +117,8 @@ def main() -> None:
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
     os.makedirs(args.workdir, exist_ok=True)
-    npz = build_artifact(args.workdir, size=args.size)
+    npz = build_artifact(args.workdir, n_items=args.n_items,
+                         size=args.size)
 
     srv = _make_server(build_parser().parse_args(
         ["serve", npz, "--port", "0", "-k", "50", "--num_unique", "3",
@@ -150,7 +153,7 @@ def main() -> None:
         urllib.request.urlopen(req, timeout=300).read()
     print(f"warmup: {time.perf_counter() - t0:.0f}s", file=sys.stderr)
 
-    results = {"gallery_items": 256, "image_size": args.size,
+    results = {"gallery_items": args.n_items, "image_size": args.size,
                "matmul_dtype": "int8"}
     for conc in (1, 8):
         r = run_load(base, body, concurrency=conc, seconds=args.seconds)

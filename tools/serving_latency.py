@@ -31,11 +31,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-GALLERY, DIM, K = 100_000, 1536, 150
-ITERS = 20
+K = 150
 
 
-def _chained(fn):
+def _chained(fn, iters: int):
     """iters dependent calls of fn(q, g) -> (vals, inds): each iteration's
     queries depend on the previous ranking so XLA cannot overlap or elide
     them."""
@@ -45,30 +44,37 @@ def _chained(fn):
         def body(_, qc):
             vals, _i = fn(qc, g)
             return qc + vals[:, :1] * 1e-30
-        return jax.lax.fori_loop(0, ITERS, body, q)
+        return jax.lax.fori_loop(0, iters, body, q)
 
     return jax.jit(run)
 
 
-def time_variant(name: str, fn, q, g) -> float:
-    """ms per call (chained loop / ITERS) after warmup."""
+def time_variant(name: str, fn, q, g, iters: int) -> float:
+    """ms per call (chained loop / iters) after warmup."""
     import jax
 
-    chained = _chained(fn)
+    chained = _chained(fn, iters)
     for _ in range(2):                       # warmup: compile + first exec
         np.asarray(chained(q, g))            # forced fetch (CLAUDE.md)
     t0 = time.perf_counter()
     jax.block_until_ready(chained(q, g))
-    ms = (time.perf_counter() - t0) * 1000 / ITERS
+    ms = (time.perf_counter() - t0) * 1000 / iters
     print(f"  {name:24s} {ms:8.2f} ms")
     return ms
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=None)
     p.add_argument("--qs", type=int, nargs="+", default=[1, 8, 64, 256])
-    args = p.parse_args()
+    p.add_argument("--gallery", type=int, default=100_000)
+    p.add_argument("--dim", type=int, default=1536)
+    p.add_argument("--iters", type=int, default=20,
+                   help="dependency-chained calls per timing")
+    p.add_argument("--interpret", action="store_true",
+                   help="Pallas interpret mode — CPU smoke runs only "
+                        "(numbers are meaningless off-chip)")
+    args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
@@ -80,38 +86,42 @@ def main() -> None:
     )
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    k = min(K, args.gallery)
+    it = args.iters
     key = jax.random.key(0)
-    g = l2_normalize(jax.random.normal(key, (GALLERY, DIM), jnp.float32))
+    g = l2_normalize(jax.random.normal(key, (args.gallery, args.dim),
+                                       jnp.float32))
     g = jax.block_until_ready(g)
 
     results = {}
     for q_n in args.qs:
         print(f"Q={q_n}:")
         q = l2_normalize(jax.random.normal(jax.random.key(q_n + 1),
-                                           (q_n, DIM), jnp.float32))
+                                           (q_n, args.dim), jnp.float32))
         q = jax.block_until_ready(q)
         row = {}
 
         row["fused_qtile256"] = time_variant(
             "fused q_tile=256",
-            lambda qc, gc: cosine_topk(qc, gc, K, method="fused"), q, g)
+            lambda qc, gc: cosine_topk(qc, gc, k, method="fused",
+                                       interpret=args.interpret), q, g, it)
 
         qt = max(8, -(-q_n // 8) * 8)
         if qt < 256:
             def fused_small(qc, gc, qt=qt):
                 vals, inds, _ok = fused_cosine_topk_pallas(
-                    qc, gc, K, q_tile=qt)
+                    qc, gc, k, q_tile=qt, interpret=args.interpret)
                 return vals, inds
             row[f"fused_qtile{qt}"] = time_variant(
-                f"fused q_tile={qt}", fused_small, q, g)
+                f"fused q_tile={qt}", fused_small, q, g, it)
 
         row["dense"] = time_variant(
             "dense blocked",
-            lambda qc, gc: cosine_topk(qc, gc, K, method="dense"), q, g)
+            lambda qc, gc: cosine_topk(qc, gc, k, method="dense"), q, g, it)
 
         row["approx"] = time_variant(
             "approx_max_k",
-            lambda qc, gc: cosine_topk(qc, gc, K, method="approx"), q, g)
+            lambda qc, gc: cosine_topk(qc, gc, k, method="approx"), q, g, it)
 
         results[q_n] = row
 
