@@ -34,11 +34,11 @@ def run(args: argparse.Namespace) -> dict:
 
     import jax
 
-    from imageretrievalresearch_tpu.config import TrainConfig
-    from imageretrievalresearch_tpu.data import (
-        SketchyImageDataset,
-        TripletLoader,
+    from imageretrievalresearch_tpu.cli.train import (
+        build_dataset,
+        build_loader,
     )
+    from imageretrievalresearch_tpu.config import TrainConfig
     from imageretrievalresearch_tpu.models import create_model
     from imageretrievalresearch_tpu.train import Trainer, make_optimizer
     from imageretrievalresearch_tpu.train.lr_finder import lr_find
@@ -48,21 +48,13 @@ def run(args: argparse.Namespace) -> dict:
     cfg = TrainConfig(**{k: v for k, v in vars(args).items()
                          if k in cfg_fields})
 
-    def make_ds(split):
-        kw = dict(data_dir=cfg.ims_path, pos_policy=cfg.pos_policy,
-                  neg_policy=cfg.neg_policy)
-        if cfg.split_json:
-            kw.update(trainval_json=cfg.split_json, trainval=split)
-        return SketchyImageDataset(**kw)
-
-    def make_loader(ds, seed_off=0, drop_last=True):
-        return TripletLoader(ds, cfg.batch_size, num_workers=cfg.num_workers,
-                             seed=cfg.seed + seed_off, drop_last=drop_last,
-                             host_size=cfg.image_size)
-
-    ds = make_ds("train")
-    loader = make_loader(ds)
-    val_loader = (make_loader(make_ds("val"), 1) if cfg.split_json else None)
+    # the shared train-CLI builders handle every --dataset family, so the
+    # sweep runs the same loader/task (triplet or CE-classifier) the real
+    # training run would
+    ds = build_dataset(cfg, args, "train")
+    loader = build_loader(cfg, args, ds, "train")
+    val_ds = build_dataset(cfg, args, "val")
+    val_loader = build_loader(cfg, args, val_ds, "val") if val_ds else None
     backbone = create_model(cfg.model_name,
                             num_classes=ds.get_cat_length(),
                             dtype=cfg.compute_dtype)
@@ -96,10 +88,12 @@ def run(args: argparse.Namespace) -> dict:
         trainer2 = Trainer(cfg, backbone, loader, val_loader,
                            metric_transforms={"cos_sims": booster})
         state, _ = trainer2.fit()
-        if cfg.split_json:
+        test_ds = build_dataset(cfg, args, "test")
+        if test_ds is not None:
             # reference: trainer.test on the test split, results pickled
-            # under results/ with the run name (train/find_lr.py:440-457)
-            test_loader = make_loader(make_ds("test"), 2, drop_last=False)
+            # under results/ with the run name (train/find_lr.py:440-457);
+            # only the sketchy-family datasets carry a test split
+            test_loader = build_loader(cfg, args, test_ds, "test")
             results_path = os.path.join(
                 cfg.save_path, "results", f"{save_name}_results.pickle")
             results = trainer2.test(state, test_loader,

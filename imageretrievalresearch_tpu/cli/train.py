@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_fraction", type=float, default=0.2,
                    help="imagefolder train/val holdout (reference "
                         "random_split 80/20)")
+    p.add_argument("--task", type=str, default=None,
+                   choices=["triplet", "classification"],
+                   help="override the task implied by --dataset "
+                        "(imagefolder implies the CE classifier, all "
+                        "others the triplet embedder)")
     p.add_argument("--pos_policy", type=str, default="cat")
     p.add_argument("--neg_policy", type=str, default="except_cat")
     p.add_argument("--sketch_qry", action="store_true",
@@ -106,6 +111,90 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def build_dataset(cfg, args, split: str):
+    """One dataset for ``split`` ("train"/"val"/"test") per the configured
+    ``cfg.dataset`` family — shared by the train and find_lr CLIs so every
+    ``--dataset`` choice behaves identically in both. Returns None when the
+    family has no such split (sketchy-family val/test without
+    ``--split_json``; imagefolder/triple have no test split)."""
+    import os
+
+    from imageretrievalresearch_tpu.data import (
+        ImageFolderDataset,
+        OriginalImageDataset,
+        SketchyImageDataset,
+        TripleDataset,
+        TripletImageDataset,
+    )
+
+    cache_kw = (dict(load_images=True,
+                     cache_size=args.host_size or cfg.image_size)
+                if args.cache else {})
+    if cfg.dataset == "imagefolder":
+        # T5 surface: any class-per-subfolder tree, seeded 80/20 holdout
+        # (reference ImageFolder + random_split,
+        # train/train_vit_crossentropy.py:50,59)
+        if split == "test":
+            return None
+        return ImageFolderDataset(data_dir=cfg.ims_path, split=split,
+                                  val_fraction=cfg.val_fraction,
+                                  seed=cfg.seed, **cache_kw)
+    if cfg.dataset == "triple":
+        # T4 surface: <ims_path>/photo/<class>/* + <ims_path>/sketch/<class>/*
+        # (reference train/train_vit_triplet.py:17,52 — TripleDataset with a
+        # random train/val holdout, here seeded)
+        if split == "test":
+            return None
+        return TripleDataset(
+            photo_root=os.path.join(cfg.ims_path, "photo"),
+            sketch_root=os.path.join(cfg.ims_path, "sketch"),
+            seed=cfg.seed, split=split, val_fraction=cfg.val_fraction)
+    ds_cls = {"sketchy": SketchyImageDataset,
+              "original": OriginalImageDataset,
+              "soft": TripletImageDataset}[cfg.dataset]
+    if split != "train" and not cfg.split_json:
+        return None
+    kw = dict(data_dir=cfg.ims_path, pos_policy=cfg.pos_policy,
+              neg_policy=cfg.neg_policy, **cache_kw)
+    if cfg.dataset == "sketchy" and getattr(args, "sketch_qry", False):
+        kw["sketch_qry"] = True
+    if getattr(args, "pos_return_num", 1) != 1:
+        kw["pos_return_num"] = args.pos_return_num
+    if getattr(args, "neg_return_num", 1) != 1:
+        kw["neg_return_num"] = args.neg_return_num
+    if cfg.split_json:
+        kw.update(trainval_json=cfg.split_json, trainval=split)
+    return ds_cls(**kw)
+
+
+def build_loader(cfg, args, ds, kind: str = "train"):
+    """Loader with the per-split conventions both CLIs share: train
+    shuffles and drops the remainder; imagefolder/triple validation mirrors
+    the reference's random_split DataLoaders (shuffle=False, drop_last=False,
+    train_vit_crossentropy.py:63, train_vit_triplet.py:52) so eval order is
+    deterministic and the partial final batch is scored exactly (unsharded
+    remainder path in Trainer._eval_batches); test keeps every item."""
+    import jax
+
+    from imageretrievalresearch_tpu.data import TripletLoader
+
+    seed_offset = {"train": 0, "val": 1, "test": 2}[kind]
+    if kind == "train":
+        conv = dict(shuffle=True, drop_last=True)
+    elif kind == "test":
+        conv = dict(shuffle=False, drop_last=False)
+    else:
+        conv = (dict(shuffle=False, drop_last=False)
+                if cfg.dataset in ("imagefolder", "triple")
+                else dict(shuffle=True, drop_last=True))
+    return TripletLoader(ds, cfg.batch_size, num_workers=cfg.num_workers,
+                         seed=cfg.seed + seed_offset,
+                         host_size=args.host_size or cfg.image_size,
+                         use_native=args.use_native_loader,
+                         process_index=jax.process_index(),
+                         process_count=jax.process_count(), **conv)
+
+
 def run(args: argparse.Namespace) -> None:
     # heavy imports deferred so --help is instant
     if (args.coordinator_address or args.num_processes
@@ -127,13 +216,6 @@ def run(args: argparse.Namespace) -> None:
               f"{jax.process_count()}, {len(jax.local_devices())} local / "
               f"{len(jax.devices())} global devices")
     from imageretrievalresearch_tpu.config import TrainConfig
-    from imageretrievalresearch_tpu.data import (
-        OriginalImageDataset,
-        SketchyImageDataset,
-        TripleDataset,
-        TripletImageDataset,
-        TripletLoader,
-    )
     from imageretrievalresearch_tpu.models import create_model
     from imageretrievalresearch_tpu.train import Trainer
     from imageretrievalresearch_tpu.utils.logging import MetricLogger
@@ -153,84 +235,16 @@ def run(args: argparse.Namespace) -> None:
         cfg = make_config(args.recipe, **explicit)
     else:
         cfg = TrainConfig(**overrides)
-    if cfg.dataset == "imagefolder":
-        # T5 surface: any class-per-subfolder tree, seeded 80/20 holdout
-        # (reference ImageFolder + random_split,
-        # train/train_vit_crossentropy.py:50,59)
-        from imageretrievalresearch_tpu.data import ImageFolderDataset
-
-        def make_ds(split):
-            kw = dict(data_dir=cfg.ims_path, split=split,
-                      val_fraction=cfg.val_fraction, seed=cfg.seed)
-            if args.cache:
-                kw.update(load_images=True,
-                          cache_size=args.host_size or cfg.image_size)
-            return ImageFolderDataset(**kw)
-
-        tr_ds, val_ds = make_ds("train"), make_ds("val")
-    elif cfg.dataset == "triple":
-        # T4 surface: <ims_path>/photo/<class>/* + <ims_path>/sketch/<class>/*
-        # (reference train/train_vit_triplet.py:17,52 — TripleDataset with a
-        # random train/val holdout, here seeded)
-        def make_ds(split):
-            return TripleDataset(
-                photo_root=os.path.join(cfg.ims_path, "photo"),
-                sketch_root=os.path.join(cfg.ims_path, "sketch"),
-                seed=cfg.seed, split=split,
-                val_fraction=cfg.val_fraction)
-
-        tr_ds, val_ds = make_ds("train"), make_ds("val")
-    else:
-        ds_cls = {"sketchy": SketchyImageDataset,
-                  "original": OriginalImageDataset,
-                  "soft": TripletImageDataset}[cfg.dataset]
-
-        def make_ds(split):
-            kw = dict(data_dir=cfg.ims_path, pos_policy=cfg.pos_policy,
-                      neg_policy=cfg.neg_policy)
-            if cfg.dataset == "sketchy" and args.sketch_qry:
-                kw["sketch_qry"] = True
-            if args.pos_return_num != 1:
-                kw["pos_return_num"] = args.pos_return_num
-            if args.neg_return_num != 1:
-                kw["neg_return_num"] = args.neg_return_num
-            if cfg.split_json:
-                kw.update(trainval_json=cfg.split_json, trainval=split)
-            if args.cache:
-                kw.update(load_images=True,
-                          cache_size=args.host_size or cfg.image_size)
-            return ds_cls(**kw)
-
-        tr_ds = make_ds("train")
-        val_ds = make_ds("val") if cfg.split_json else None
+    tr_ds = build_dataset(cfg, args, "train")
+    val_ds = build_dataset(cfg, args, "val")
     num_classes = tr_ds.get_cat_length()
     print(f"Number of train set images: {len(tr_ds)}")
     if val_ds:
         print(f"Number of validation set images: {len(val_ds)}")
     print(f"\nTrain dataset has {num_classes} classes")
 
-    host_size = args.host_size or cfg.image_size
-    import jax as _jax
-    proc_kw = dict(process_index=_jax.process_index(),
-                   process_count=_jax.process_count())
-    train_loader = TripletLoader(tr_ds, cfg.batch_size, shuffle=True,
-                                 drop_last=True, num_workers=cfg.num_workers,
-                                 seed=cfg.seed, host_size=host_size,
-                                 use_native=args.use_native_loader,
-                                 **proc_kw)
-    # imagefolder/triple validation mirrors the reference's random_split
-    # DataLoaders (shuffle=False, drop_last=False,
-    # train_vit_crossentropy.py:63, train_vit_triplet.py:52): eval order
-    # is deterministic and the partial final batch is scored exactly
-    # (unsharded remainder path in Trainer._eval_batches)
-    val_kw = (dict(shuffle=False, drop_last=False)
-              if cfg.dataset in ("imagefolder", "triple")
-              else dict(shuffle=True, drop_last=True))
-    val_loader = (TripletLoader(val_ds, cfg.batch_size,
-                                num_workers=cfg.num_workers,
-                                seed=cfg.seed + 1, host_size=host_size,
-                                use_native=args.use_native_loader,
-                                **val_kw, **proc_kw)
+    train_loader = build_loader(cfg, args, tr_ds, "train")
+    val_loader = (build_loader(cfg, args, val_ds, "val")
                   if val_ds else None)
 
     save_name = f"{cfg.model_name}_{cfg.optimizer_name}_{cfg.learning_rate}"

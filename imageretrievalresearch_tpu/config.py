@@ -54,6 +54,12 @@ class TrainConfig:
                                    # tree, train/train_vit_crossentropy.py:50)
     val_fraction: float = 0.2      # imagefolder train/val holdout
                                    # (reference random_split 80/20, :59)
+    task: str | None = None        # "triplet" | "classification"; None =
+                                   # inferred from `dataset` (imagefolder
+                                   # trains the single-image CE classifier,
+                                   # everything else the triplet embedder).
+                                   # Set explicitly to drive a custom loader
+                                   # through either step family.
     pos_policy: str = "cat"
     neg_policy: str = "except_cat"
     num_workers: int = 8
@@ -67,6 +73,17 @@ class TrainConfig:
     wandb: bool = False               # observability is pluggable; no
                                       # hardcoded keys (cf. train/train.py:43)
     profile_dir: str | None = None    # jax.profiler trace of early steps
+
+    @property
+    def effective_task(self) -> str:
+        """Explicit ``task`` wins; otherwise the dataset family implies it
+        (imagefolder = the reference's single-image CE classifier,
+        train/train_vit_crossentropy.py:50; all others = triplet)."""
+        if self.task is not None:
+            assert self.task in ("triplet", "classification"), self.task
+            return self.task
+        return ("classification" if self.dataset == "imagefolder"
+                else "triplet")
 
     @property
     def loss_mode(self) -> str:

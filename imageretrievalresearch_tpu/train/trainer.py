@@ -124,7 +124,7 @@ class Trainer:
         # single-image CE classification (T5 on an ImageFolder tree) swaps
         # both the transform shape and the step builders; everything else
         # (mesh, checkpointing, logging, early stop) is shared
-        classification = cfg.dataset == "imagefolder"
+        classification = cfg.effective_task == "classification"
         eval_transform = transform
         if transform is None:
             spec = (TransformSpec.train_autoaugment(cfg.image_size)
@@ -249,7 +249,15 @@ class Trainer:
             elif jax.process_count() == 1:
                 prepped = jax.tree.map(jnp.asarray, batch)
             else:
-                continue  # multi-process: no global remainder protocol
+                # multi-process: no global remainder protocol — say so
+                # instead of silently reporting metrics over fewer items
+                # than a single-process run would
+                if self._is_main:
+                    print(f"[trainer] WARNING: multi-process eval skipped a "
+                          f"final partial batch of {n} items (size does not "
+                          f"divide the {n_dev}-device mesh); metrics cover "
+                          f"the remaining batches only")
+                continue
             metrics = self._eval_step(state, prepped)
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(v)   # stay on device

@@ -154,6 +154,31 @@ class TestFindLRCLI:
         with open(pkl[0], "rb") as f:
             assert pickle.load(f)["test_scores"] == res["test_scores"]
 
+    def test_sweep_on_imagefolder_dataset(self, tmp_path):
+        """find_lr must honor the inherited --dataset flag: with
+        `imagefolder` the sweep runs the CE-classifier task on the folder
+        tree (round-3 regression class: the CLI always built the sketchy
+        triplet dataset, so the classifier transform crashed on the
+        triplet batch keys)."""
+        from imageretrievalresearch_tpu.cli.find_lr import build_parser, run
+        from imageretrievalresearch_tpu.data.synthetic import (
+            make_classfolder_tree,
+        )
+
+        photo_root, _ = make_classfolder_tree(
+            str(tmp_path / "imf"), n_classes=3, n_photos=7, n_sketches=1,
+            size=32)
+        args = build_parser().parse_args([
+            "--dataset", "imagefolder", "--ims_path", photo_root,
+            "--model_name", "efficientnet_b0",
+            "--batch_size", "8", "--image_size", "32",
+            "--compute_dtype", "float32", "--num_workers", "2",
+            "-sp", str(tmp_path / "models"),
+            "--min_lr", "1e-5", "--max_lr", "1e-2", "--num_lr_steps", "4",
+        ])
+        out = run(args)
+        assert np.all(np.isfinite(out["losses"]))
+
 
 class TestInferenceCLI:
     def test_default_transform_matches_reference_eval_pipeline(self):

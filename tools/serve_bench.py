@@ -93,8 +93,10 @@ def run_load(base: str, body: bytes, *, concurrency: int, seconds: float
         "requests": len(lat),
         "errors": errors[0],
         "qps": round(len(lat) / wall, 2),
-        "p50_ms": round(float(np.percentile(lat, 50)), 1),
-        "p99_ms": round(float(np.percentile(lat, 99)), 1),
+        # every request can error in a window (server wedged): report the
+        # counts rather than crash on an empty percentile
+        "p50_ms": round(float(np.percentile(lat, 50)), 1) if len(lat) else None,
+        "p99_ms": round(float(np.percentile(lat, 99)), 1) if len(lat) else None,
     }
 
 
