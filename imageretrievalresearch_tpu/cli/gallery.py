@@ -359,21 +359,35 @@ class _MicroBatcher:
         self._q: "queue.Queue" = queue.Queue()
         self.requests = 0
         self.dispatches = 0
-        t = threading.Thread(target=self._loop, daemon=True,
-                             name="serve-microbatch")
-        t.start()
+        self._stopped = False
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="serve-microbatch")
+        self._thread.start()
 
     def submit(self, x, num_unique: int):
         """Block until the worker has ranked this request's image.
         ``x`` is one decoded (1, H, W, 3) uint8 image."""
         import threading
 
+        if self._stopped:
+            raise RuntimeError("micro-batcher stopped (server closed)")
         slot = {"x": x, "nu": num_unique, "ev": threading.Event()}
         self._q.put(slot)
         slot["ev"].wait()
         if "err" in slot:
             raise slot["err"]
         return slot["rec"]
+
+    def stop(self) -> None:
+        """Terminate the worker thread (idempotent). Without this every
+        discarded server would leak a thread blocked in ``Queue.get``
+        pinning the model, variables, and device gallery for the process
+        lifetime; wired into the server's ``server_close``."""
+        if self._stopped:
+            return
+        self._stopped = True
+        self._q.put(None)                      # wake + exit sentinel
+        self._thread.join(timeout=30)
 
     @staticmethod
     def _pad_pow2(arr):
@@ -392,17 +406,25 @@ class _MicroBatcher:
 
         import time
 
-        while True:
-            items = [self._q.get()]
+        stopping = False
+        while not stopping:
+            first = self._q.get()
+            if first is None:                  # stop() sentinel
+                break
+            items = [first]
             deadline = time.monotonic() + self.window_s
             while len(items) < self.max_batch:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     break
                 try:
-                    items.append(self._q.get(timeout=remaining))
+                    it = self._q.get(timeout=remaining)
                 except queue.Empty:
                     break
+                if it is None:                 # finish this drain, then exit
+                    stopping = True
+                    break
+                items.append(it)
             self.requests += len(items)
             by_nu: dict[int, list[int]] = {}
             for i, it in enumerate(items):
@@ -422,6 +444,17 @@ class _MicroBatcher:
                     for i in idxs:
                         items[i]["err"] = e
             for it in items:
+                it["ev"].set()
+        # release any submits that raced with stop() so no request thread
+        # blocks forever on a dead worker
+        while True:
+            try:
+                it = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if it is not None:
+                it["err"] = RuntimeError(
+                    "micro-batcher stopped (server closed)")
                 it["ev"].set()
 
 
@@ -560,7 +593,13 @@ def _make_server(args):
             except Exception as e:     # noqa: BLE001 — report, keep serving
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 
-    srv = ThreadingHTTPServer((args.host, args.port), Handler)
+    class _Server(ThreadingHTTPServer):
+        def server_close(self):
+            super().server_close()
+            batcher.stop()         # don't leak the worker thread (and the
+            #                        model/gallery it pins) per server
+
+    srv = _Server((args.host, args.port), Handler)
     srv.batcher = batcher          # observability: requests vs dispatches
     return srv
 

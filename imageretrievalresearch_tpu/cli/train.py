@@ -148,7 +148,8 @@ def build_dataset(cfg, args, split: str):
         return TripleDataset(
             photo_root=os.path.join(cfg.ims_path, "photo"),
             sketch_root=os.path.join(cfg.ims_path, "sketch"),
-            seed=cfg.seed, split=split, val_fraction=cfg.val_fraction)
+            seed=cfg.seed, split=split, val_fraction=cfg.val_fraction,
+            **cache_kw)
     ds_cls = {"sketchy": SketchyImageDataset,
               "original": OriginalImageDataset,
               "soft": TripletImageDataset}[cfg.dataset]

@@ -16,8 +16,8 @@ import os
 from glob import glob
 
 import numpy as np
-from PIL import Image
 
+from imageretrievalresearch_tpu.data.decode import DecodeCacheMixin
 from imageretrievalresearch_tpu.data.splits import seeded_holdout
 
 
@@ -41,7 +41,7 @@ def make_dataset(root: str) -> list[str]:
     return images
 
 
-class TripleDataset:
+class TripleDataset(DecodeCacheMixin):
     """Reference data/triplet_dataset.py:31-91 with an explicit PRNG.
 
     The reference's negative pick has a quirk: it samples from
@@ -52,7 +52,8 @@ class TripleDataset:
 
     def __init__(self, photo_root: str, sketch_root: str,
                  transform=None, seed: int = 0, split: str = "all",
-                 val_fraction: float = 0.2):
+                 val_fraction: float = 0.2, load_images: bool = False,
+                 cache_size: int | None = None):
         """``split='train'|'val'`` holds out a seeded ``val_fraction`` of
         the photo queries (the reference T4 flow splits its TripleDataset
         with a fixed ``random_split([5000, 474])``,
@@ -77,6 +78,14 @@ class TripleDataset:
             for c in os.listdir(sketch_root)
             if os.path.isdir(os.path.join(sketch_root, c))
         }
+        # decode-once RAM cache (same -c / --cache surface as the other
+        # dataset families): image_lst/sketch_lst are the path universes
+        # the mixin eagerly decodes
+        self.image_lst = list(self.photo_paths)
+        self.sketch_lst = [os.path.join(sketch_root, c, f)
+                           for c, files in self._sketches.items()
+                           for f in files]
+        self._init_decode_cache(load_images, cache_size)
 
     def __len__(self) -> int:
         return self.len
@@ -105,12 +114,9 @@ class TripleDataset:
         rng = rng or self._rng
         photo_path = self.photo_paths[index]
         sketch_path, neg_path, label = self._getrelate_sketch(photo_path, rng)
-        with Image.open(photo_path) as im:
-            photo = np.asarray(im.convert("RGB"))
-        with Image.open(sketch_path) as im:
-            sketch = np.asarray(im.convert("RGB"))
-        with Image.open(neg_path) as im:
-            neg = np.asarray(im.convert("RGB"))
+        photo = self._decode(photo_path)
+        sketch = self._decode(sketch_path)
+        neg = self._decode(neg_path)
         if self.transform is not None:
             photo, sketch, neg = (self.transform(photo), self.transform(sketch),
                                   self.transform(neg))

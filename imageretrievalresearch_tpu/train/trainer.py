@@ -230,9 +230,12 @@ class Trainer:
         return state, {k: float(np.mean(v)) for k, v in agg.items()}
 
     def _eval_batches(self, state: EmbedTrainState, loader
-                      ) -> dict[str, list[float]]:
-        """Per-batch eval metrics, fetched once at the end (device arrays
-        accumulate on device; one transfer instead of one per step).
+                      ) -> tuple[dict[str, list[float]], list[int]]:
+        """Per-batch eval metrics + batch sizes, fetched once at the end
+        (device arrays accumulate on device; one transfer instead of one
+        per step). The sizes weight the epoch mean: Lightning's epoch
+        aggregation is batch-size-weighted, so an unweighted mean would
+        over-weight a ``drop_last=False`` partial final batch.
 
         A final partial batch (``drop_last=False`` test loaders) whose size
         doesn't divide the mesh runs UNSHARDED on the default device — exact
@@ -242,6 +245,7 @@ class Trainer:
         """
         n_dev = int(np.prod(list(self.mesh.shape.values())))
         agg: dict[str, list] = {}
+        sizes: list[int] = []
         for batch in loader:
             n = np.asarray(jax.tree.leaves(batch)[0]).shape[0]
             if n % n_dev == 0:
@@ -259,25 +263,27 @@ class Trainer:
                           f"the remaining batches only")
                 continue
             metrics = self._eval_step(state, prepped)
+            sizes.append(int(n))
             for k, v in metrics.items():
                 agg.setdefault(k, []).append(v)   # stay on device
         agg = jax.device_get(agg)
-        return {k: [float(x) for x in v] for k, v in agg.items()}
+        return {k: [float(x) for x in v] for k, v in agg.items()}, sizes
 
     def eval_epoch(self, state: EmbedTrainState, loader=None,
                    transforms: dict | None = None) -> dict:
-        """Mean over per-batch eval metrics; ``transforms`` (e.g. the
-        find_lr booster) are applied to each PER-BATCH value before the
-        mean — the reference boosts every logged validation-step value
-        and lets Lightning epoch-average the boosted series
-        (train/find_lr.py:87-95,337), which differs from boosting the
-        epoch mean because the booster is piecewise."""
-        agg = self._eval_batches(state, loader or self.val_loader)
+        """Batch-size-weighted mean over per-batch eval metrics (item-level
+        semantics, matching Lightning's weighted epoch aggregation);
+        ``transforms`` (e.g. the find_lr booster) are applied to each
+        PER-BATCH value before the mean — the reference boosts every logged
+        validation-step value and lets Lightning epoch-average the boosted
+        series (train/find_lr.py:87-95,337), which differs from boosting
+        the epoch mean because the booster is piecewise."""
+        agg, sizes = self._eval_batches(state, loader or self.val_loader)
         out = {}
         for k, v in agg.items():
             f = (transforms or {}).get(k)
             vals = [float(f(x)) for x in v] if f is not None else v
-            out[k] = float(np.mean(vals))
+            out[k] = float(np.average(vals, weights=sizes))
         return out
 
     def fit(self, state: EmbedTrainState | None = None,
@@ -344,11 +350,13 @@ class Trainer:
         carries the per-batch cos_sims (each mapped through
         ``score_booster`` when given — the find_lr cos_sim_score,
         train/find_lr.py:87-95,337) plus their mean under
-        ``test_scores_mean``."""
-        per_batch = self._eval_batches(state, test_loader)
+        ``test_scores_mean``. Means are batch-size-weighted (item-level
+        semantics; a ``drop_last=False`` partial final batch must not get
+        a full batch's weight)."""
+        per_batch, sizes = self._eval_batches(state, test_loader)
 
         def mean(v):
-            return float(np.mean(v)) if v else None
+            return float(np.average(v, weights=sizes)) if v else None
 
         scores = per_batch.get("cos_sims", [])
         if score_booster is not None:

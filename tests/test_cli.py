@@ -451,6 +451,7 @@ class TestGalleryCLI:
                 assert json.loads(r.read())["ok"]
         finally:
             srv.shutdown()
+            srv.server_close()
 
     def test_microbatcher_coalesces_concurrent_requests(self):
         """Concurrent submits drain into fewer device dispatches; results
@@ -488,6 +489,11 @@ class TestGalleryCLI:
         # first request dispatches alone (worker idle); the rest coalesce
         # while the slow embed holds the worker
         assert b.dispatches < 6
+        # stop() terminates the worker thread; later submits fail fast
+        b.stop()
+        assert not b._thread.is_alive()
+        with pytest.raises(RuntimeError, match="stopped"):
+            b.submit(np.zeros((1, 2, 2, 3), np.uint8), 0)
 
     def test_submit_relays_worker_errors(self):
         import numpy as np
@@ -500,6 +506,7 @@ class TestGalleryCLI:
         b = _MicroBatcher(bad_search, max_batch=4)
         with pytest.raises(RuntimeError, match="boom"):
             b.submit(np.zeros((1, 2, 2, 3), np.uint8), 0)
+        b.stop()
 
     def test_concurrent_posts_all_answered(self, tree, tmp_path, capsys):
         """e2e: concurrent POSTs against the live endpoint all return
@@ -556,6 +563,8 @@ class TestGalleryCLI:
             assert srv.batcher.requests == 5
         finally:
             srv.shutdown()
+            srv.server_close()
+            assert not srv.batcher._thread.is_alive()
 
     def test_query_rejects_mixed_resolutions(self, tree, tmp_path, capsys):
         import glob

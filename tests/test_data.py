@@ -175,6 +175,17 @@ class TestImageDatasets:
         assert item["P"].shape == (64, 64, 3)
         assert 0 <= item["L"] < len(ds.classes)
 
+    def test_triple_dataset_decode_cache(self, tmp_path):
+        """--cache parity with the other families: load_images pre-decodes
+        every photo AND sketch at cache_size."""
+        photo_root, sketch_root = make_classfolder_tree(str(tmp_path / "cf"))
+        ds = TripleDataset(photo_root, sketch_root, load_images=True,
+                           cache_size=16)
+        assert len(ds._cache) == len(ds.image_lst) + len(ds.sketch_lst)
+        item = ds.__getitem__(0, rng=np.random.default_rng(0))
+        assert item["P"].shape == (16, 16, 3)
+        assert item["S"].shape == (16, 16, 3)
+
 
 class TestTripletLoader:
     def test_batches(self, sketchy_root):

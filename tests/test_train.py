@@ -156,6 +156,31 @@ class TestLearningSignal:
         assert losses[-1] < losses[0] * 0.8, losses
 
 
+class TestWeightedEval:
+    def test_eval_epoch_weights_partial_batches(self):
+        """Eval/test epoch means are item-weighted: a ``drop_last=False``
+        partial final batch must not carry a full batch's weight (the
+        reference's Lightning epoch aggregation weights logged step values
+        by batch size)."""
+        cfg = _tiny_cfg()
+        bb = create_model(cfg.model_name, num_classes=4,
+                          depth_mult=0.1, width_mult=0.5)
+        trainer = Trainer(cfg, bb, train_loader=[None])
+        batches = [
+            {"image": np.zeros((8, 4, 4, 3), np.uint8)},
+            {"image": np.zeros((8, 4, 4, 3), np.uint8)},
+            {"image": np.zeros((4, 4, 4, 3), np.uint8)},  # partial
+        ]
+        trainer._eval_step = lambda state, b: {
+            "val_top1": jnp.asarray(
+                1.0 if jax.tree.leaves(b)[0].shape[0] == 8 else 0.0)}
+        out = trainer.eval_epoch(state=None, loader=batches)
+        # item-level: 16/20 hits, NOT the unweighted batch mean 2/3
+        assert out["val_top1"] == pytest.approx(16 / 20)
+        res = trainer.test(state=None, test_loader=batches)
+        assert res["test_top1"] == pytest.approx(16 / 20)
+
+
 class TestTrainerEndToEnd:
     def test_fit_two_epochs_on_synthetic_sketchy(self, tmp_path):
         root = make_sketchy_tree(str(tmp_path / "sk"), n_cats=3, n_prods=1,

@@ -214,13 +214,19 @@ def torch_train(cfg, tmodel, train_loader, val_loader, epochs: int,
             history["stopped_early"] = epoch
             break
     last_sd = copy.deepcopy(tmodel.state_dict())
+    if best_sd is None:
+        # a NaN monitor every epoch never beats -inf: report the
+        # divergence instead of crashing on load_state_dict(None)
+        raise RuntimeError(
+            f"torch replica never produced a finite best '{monitor}' "
+            f"(diverged?); last epoch metrics: {history['epochs'][-1]}")
     tmodel.load_state_dict(best_sd)
     return tmodel, last_sd, history
 
 
 def torch_eval_epoch(cfg, tmodel, val_loader) -> dict:
-    """Trainer.eval_epoch semantics (per-batch metric means, then mean
-    over batches) with the torch model; the metric FUNCTIONS are the
+    """Trainer.eval_epoch semantics (per-batch metrics, batch-size-weighted
+    epoch mean) with the torch model; the metric FUNCTIONS are the
     repo's own (parity-tested vs literal torch loops) so any difference
     isolates to the trained models."""
     import jax.numpy as jnp
@@ -230,9 +236,11 @@ def torch_eval_epoch(cfg, tmodel, val_loader) -> dict:
 
     tmodel.eval()
     agg: dict[str, list] = {}
+    sizes: list[int] = []
     with torch.no_grad():
         for b in val_loader:
             fb = _to_float(b)
+            sizes.append(int(np.asarray(b["cat_idx"]).shape[0]))
             loss, (fm_q, fm_p, fm_n) = _torch_loss(tmodel, fb, cfg)
             fq, fp, fn = (jnp.asarray(fm_q.numpy()),
                           jnp.asarray(fm_p.numpy()),
@@ -246,7 +254,7 @@ def torch_eval_epoch(cfg, tmodel, val_loader) -> dict:
                    "val_top1": float(tk["top1"])}
             for k, v in rec.items():
                 agg.setdefault(k, []).append(v)
-    return {k: float(np.mean(v)) for k, v in agg.items()}
+    return {k: float(np.average(v, weights=sizes)) for k, v in agg.items()}
 
 
 # ------------------------------------------------------------ final eval --

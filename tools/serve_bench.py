@@ -34,11 +34,15 @@ def build_artifact(workdir: str, *, n_items: int = 256, size: int = 224
 
     from imageretrievalresearch_tpu.data.synthetic import _class_base
 
-    npz = os.path.join(workdir, f"gal_{size}.npz")
+    # keyed by BOTH knobs: a rerun with a different --n_items must not
+    # silently reuse (and mislabel) a stale gallery
+    npz = os.path.join(workdir, f"gal_{size}_{n_items}.npz")
     if os.path.exists(npz):          # incremental reruns skip ALL build work
         return npz
 
-    root = os.path.join(workdir, "gallery_imgs")
+    # image tree keyed the same way — the gallery build walks the whole
+    # tree, so leftovers from a different-sized run must not leak in
+    root = os.path.join(workdir, f"gallery_imgs_{size}_{n_items}")
     rng = np.random.default_rng(0)
     for i in range(n_items):
         c, p = i % 8, (i // 8) % 2
@@ -158,12 +162,16 @@ def main(argv=None) -> None:
     results = {"gallery_items": args.n_items, "image_size": args.size,
                "matmul_dtype": "int8"}
     for conc in (1, 8):
+        # snapshot the monotonic batcher counters so each round reports
+        # ITS OWN coalescing ratio, not cumulative totals incl. warmup
+        req0, dis0 = srv.batcher.requests, srv.batcher.dispatches
         r = run_load(base, body, concurrency=conc, seconds=args.seconds)
-        r["batcher"] = {"requests": srv.batcher.requests,
-                        "dispatches": srv.batcher.dispatches}
+        r["batcher"] = {"requests": srv.batcher.requests - req0,
+                        "dispatches": srv.batcher.dispatches - dis0}
         results[f"concurrency_{conc}"] = r
         print(json.dumps(r), file=sys.stderr)
     srv.shutdown()
+    srv.server_close()
 
     txt = json.dumps(results, indent=2)
     print(txt)
