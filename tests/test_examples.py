@@ -22,6 +22,14 @@ EXAMPLES = os.path.join(REPO, "examples")
 def _run(script, *args, timeout=540):
     env = os.environ.copy()
     env["JAX_PLATFORMS"] = "cpu"
+    # These are CPU smoke tests: the child must never start the sandbox's
+    # remote-TPU ("axon") client. Its sitecustomize registers the backend
+    # at interpreter start whenever PALLAS_AXON_POOL_IPS is set, and that
+    # registration can spin forever in the chip-grant claim loop when
+    # another live process (e.g. the pytest parent) holds the grant —
+    # observed as a child stuck at startup with ~0 CPU until the timeout.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("_AXON_REGISTERED", None)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     res = subprocess.run(
         [sys.executable, "-u", os.path.join(EXAMPLES, script), *args],

@@ -41,7 +41,11 @@ class TestGraftEntry:
 
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         env = {k: v for k, v in os.environ.items()
-               if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH",
+                            # keep the remote-TPU client out of the CPU
+                            # dryrun child (startup registration can block
+                            # on the chip grant under a pytest parent)
+                            "PALLAS_AXON_POOL_IPS", "_AXON_REGISTERED")}
         env["PYTHONPATH"] = repo
         code = (
             "import jax; jax.config.update('jax_platforms', 'cpu'); "

@@ -51,7 +51,11 @@ print(f"FINAL_LOSS {history['epochs'][-1]['train_loss']:.6f}", flush=True)
 
 def _spawn(pid, nproc, ndev, port, tree, repo):
     env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                        # never start the remote-TPU client in CPU workers
+                        # (its startup registration can block on the chip
+                        # grant while the pytest parent holds it)
+                        "PALLAS_AXON_POOL_IPS", "_AXON_REGISTERED")}
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
     env["PYTHONPATH"] = repo
     return subprocess.Popen(
