@@ -32,7 +32,7 @@ REF_MIN_QUERIES = 8    # reference loop: at least this many queries...
 REF_MIN_SECONDS = 20.0  # ...and at least this much wall clock (noise floor)
 
 
-def _wait_for_device(attempts: int = 4, probe_timeout: float = 150.0) -> bool:
+def _wait_for_device(attempts: int = 3, probe_timeout: float = 150.0) -> bool:
     """Return True once device enumeration works; never hang this process.
 
     First backend init with this sandbox's remote-TPU transport retries

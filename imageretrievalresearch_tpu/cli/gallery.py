@@ -373,6 +373,12 @@ class _MicroBatcher:
             raise RuntimeError("micro-batcher stopped (server closed)")
         slot = {"x": x, "nu": num_unique, "ev": threading.Event()}
         self._q.put(slot)
+        if self._stopped:
+            # stop() may have completed between the check above and the
+            # put — the worker's final drain would then never see this
+            # slot and we'd block forever; error-out whatever is queued
+            # (including, possibly, our own slot)
+            self._release_pending()
         slot["ev"].wait()
         if "err" in slot:
             raise slot["err"]
@@ -388,6 +394,24 @@ class _MicroBatcher:
         self._stopped = True
         self._q.put(None)                      # wake + exit sentinel
         self._thread.join(timeout=30)
+        # catch submits that enqueued after the worker's final drain but
+        # before their own _stopped re-check ran
+        self._release_pending()
+
+    def _release_pending(self) -> None:
+        """Error-out every queued slot (idempotent, queue-atomic: each slot
+        is dequeued exactly once across worker/stop/submit callers)."""
+        import queue
+
+        while True:
+            try:
+                it = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if it is not None:
+                it["err"] = RuntimeError(
+                    "micro-batcher stopped (server closed)")
+                it["ev"].set()
 
     @staticmethod
     def _pad_pow2(arr):
@@ -447,15 +471,7 @@ class _MicroBatcher:
                 it["ev"].set()
         # release any submits that raced with stop() so no request thread
         # blocks forever on a dead worker
-        while True:
-            try:
-                it = self._q.get_nowait()
-            except queue.Empty:
-                return
-            if it is not None:
-                it["err"] = RuntimeError(
-                    "micro-batcher stopped (server closed)")
-                it["ev"].set()
+        self._release_pending()
 
 
 def _serve(args) -> None:

@@ -244,11 +244,17 @@ class Trainer:
         distinct remainder shape, i.e. at most one per loader.
         """
         n_dev = int(np.prod(list(self.mesh.shape.values())))
+        # each process's loader yields only its LOCAL slice of the global
+        # batch (shard_batch assembles the global array across processes),
+        # so shardability is local rows vs THIS process's device count —
+        # gating on the global n_dev would skip every multi-process batch
+        # whose local slice is smaller than the full mesh
+        n_local_dev = max(n_dev // max(jax.process_count(), 1), 1)
         agg: dict[str, list] = {}
         sizes: list[int] = []
         for batch in loader:
             n = np.asarray(jax.tree.leaves(batch)[0]).shape[0]
-            if n % n_dev == 0:
+            if n % n_local_dev == 0:
                 prepped = self._prepare(batch)
             elif jax.process_count() == 1:
                 prepped = jax.tree.map(jnp.asarray, batch)
@@ -258,9 +264,10 @@ class Trainer:
                 # than a single-process run would
                 if self._is_main:
                     print(f"[trainer] WARNING: multi-process eval skipped a "
-                          f"final partial batch of {n} items (size does not "
-                          f"divide the {n_dev}-device mesh); metrics cover "
-                          f"the remaining batches only")
+                          f"final partial batch of {n} local items (size "
+                          f"does not divide the {n_local_dev} local devices "
+                          f"of the {n_dev}-device mesh); metrics cover the "
+                          f"remaining batches only")
                 continue
             metrics = self._eval_step(state, prepped)
             sizes.append(int(n))

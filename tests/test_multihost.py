@@ -41,11 +41,19 @@ ds = SketchyImageDataset(data_dir=tree)
 dl = TripletLoader(ds, cfg.batch_size, num_workers=2, seed=0,
                    process_index=jax.process_index(),
                    process_count=jax.process_count())
+# same dataset as a val loader: each process yields its LOCAL slice of
+# every global batch, so the eval path must shard local rows over local
+# devices (a gate on the GLOBAL device count would skip every batch here)
+dv = TripletLoader(ds, cfg.batch_size, shuffle=False, num_workers=2, seed=1,
+                   process_index=jax.process_index(),
+                   process_count=jax.process_count())
 bb = create_model(cfg.model_name, num_classes=ds.get_cat_length(),
                   depth_mult=0.1, width_mult=0.5)
-trainer = Trainer(cfg, bb, dl)
+trainer = Trainer(cfg, bb, dl, val_loader=dv)
 state, history = trainer.fit(max_epochs=1)
-print(f"FINAL_LOSS {history['epochs'][-1]['train_loss']:.6f}", flush=True)
+last = history['epochs'][-1]
+print(f"FINAL_LOSS {last['train_loss']:.6f}", flush=True)
+print(f"VAL_COS {last['cos_sims']:.6f} {last['val_loss']:.6f}", flush=True)
 """
 
 
@@ -72,6 +80,16 @@ def _final_loss(out: str) -> float:
     raise AssertionError(f"no FINAL_LOSS in output:\n{out}")
 
 
+def _val_metrics(out: str) -> tuple[float, float]:
+    """(cos_sims, val_loss) — absent entirely if the eval path dropped
+    every batch (e.g. a local-vs-global device-count gate bug)."""
+    for line in out.splitlines():
+        if line.startswith("VAL_COS"):
+            parts = line.split()
+            return float(parts[1]), float(parts[2])
+    raise AssertionError(f"no VAL_COS in output:\n{out}")
+
+
 class TestMultiProcessDP:
     def test_two_processes_match_single_process(self, tmp_path):
         tree = make_sketchy_tree(str(tmp_path / "sk"), n_cats=3, n_prods=1,
@@ -87,6 +105,7 @@ class TestMultiProcessDP:
         for w, (so, se) in zip(workers, outs):
             assert w.returncode == 0, (so, se)
         multi = _final_loss(outs[0][0])
+        multi_val = _val_metrics(outs[0][0])
         assert multi == pytest.approx(_final_loss(outs[1][0]), rel=1e-6)
 
         # 1 process x 8 virtual devices, same seeds
@@ -94,3 +113,8 @@ class TestMultiProcessDP:
         so, se = single.communicate(timeout=540)
         assert single.returncode == 0, (so, se)
         assert multi == pytest.approx(_final_loss(so), rel=1e-4)
+        # validation must run (not be gate-skipped) and match the
+        # single-process topology
+        single_val = _val_metrics(so)
+        assert multi_val[0] == pytest.approx(single_val[0], rel=1e-4)
+        assert multi_val[1] == pytest.approx(single_val[1], rel=1e-4)
