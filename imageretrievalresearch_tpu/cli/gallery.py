@@ -400,18 +400,33 @@ class _MicroBatcher:
 
     def _release_pending(self) -> None:
         """Error-out every queued slot (idempotent, queue-atomic: each slot
-        is dequeued exactly once across worker/stop/submit callers)."""
-        import queue
+        is dequeued exactly once across worker/stop/submit callers).
 
+        The stop() sentinel (None) must be PRESERVED, not swallowed: when
+        this runs from a racing submit (or from stop() after its join
+        timed out on a long search_fn) while the worker is still alive and
+        busy, eating the sentinel would leave the worker blocked in
+        ``Queue.get`` forever — exactly the leak stop() exists to prevent.
+        Re-put one sentinel at the end (never inside the drain loop, which
+        would spin) iff the worker still needs the wake-up."""
+        import queue
+        import threading
+
+        saw_sentinel = False
         while True:
             try:
                 it = self._q.get_nowait()
             except queue.Empty:
-                return
-            if it is not None:
-                it["err"] = RuntimeError(
-                    "micro-batcher stopped (server closed)")
-                it["ev"].set()
+                break
+            if it is None:
+                saw_sentinel = True
+                continue
+            it["err"] = RuntimeError(
+                "micro-batcher stopped (server closed)")
+            it["ev"].set()
+        if (saw_sentinel and self._thread.is_alive()
+                and threading.current_thread() is not self._thread):
+            self._q.put(None)
 
     @staticmethod
     def _pad_pow2(arr):

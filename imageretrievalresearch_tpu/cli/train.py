@@ -145,6 +145,12 @@ def build_dataset(cfg, args, split: str):
         # random train/val holdout, here seeded)
         if split == "test":
             return None
+        if args.cache:
+            # TripleDataset's sketch universe is split-independent (pos/neg
+            # drawn by class): share ONE decode cache across the CLI's
+            # train/val instances so the tree is decoded + held once
+            cache_kw["cache_store"] = vars(args).setdefault(
+                "_triple_cache_store", {})
         return TripleDataset(
             photo_root=os.path.join(cfg.ims_path, "photo"),
             sketch_root=os.path.join(cfg.ims_path, "sketch"),

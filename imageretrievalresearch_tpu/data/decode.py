@@ -21,13 +21,22 @@ class DecodeCacheMixin:
     """
 
     def _init_decode_cache(self, load_images: bool,
-                           cache_size: int | None) -> None:
+                           cache_size: int | None,
+                           cache_store: dict | None = None) -> None:
+        """``cache_store``: an externally shared path->array dict. Pass the
+        SAME dict to sibling datasets over the same tree (e.g. the train
+        CLI's train/val TripleDataset pair, whose sketch universe is the
+        whole tree regardless of split) so each image is decoded and held
+        in RAM once per process instead of once per instance. Only share
+        between datasets with the same ``cache_size``."""
         self.load_images = load_images
         self.cache_size = cache_size
-        self._cache: dict[str, np.ndarray] = {}
+        self._cache: dict[str, np.ndarray] = (
+            cache_store if cache_store is not None else {})
         if load_images:
             for p in set(self.sketch_lst) | set(self.image_lst):
-                self._cache[p] = self._decode(p)
+                if p not in self._cache:
+                    self._cache[p] = self._decode(p)
 
     def _decode(self, path: str) -> np.ndarray:
         if path in self._cache:

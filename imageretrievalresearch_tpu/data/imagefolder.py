@@ -19,13 +19,11 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import numpy as np
-from PIL import Image
-
+from imageretrievalresearch_tpu.data.decode import DecodeCacheMixin
 from imageretrievalresearch_tpu.data.splits import IMG_EXTS, seeded_holdout
 
 
-class ImageFolderDataset:
+class ImageFolderDataset(DecodeCacheMixin):
     """Single-image classification over a class-per-subfolder tree.
 
     Yields ``{'image': uint8 HWC, 'label': int}`` items; feed through
@@ -70,18 +68,11 @@ class ImageFolderDataset:
                                       val_fraction=val_fraction, seed=seed)
         self.split = split
 
-        self._cache: list[np.ndarray] | None = None
-        if load_images:
-            self._cache = [self._decode(p, cache_size)
-                           for p, _ in self.samples]
-
-    @staticmethod
-    def _decode(path: str, size: int | None = None) -> np.ndarray:
-        with Image.open(path) as im:
-            im = im.convert("RGB")
-            if size and im.size != (size, size):
-                im = im.resize((size, size), Image.BILINEAR)
-            return np.asarray(im, np.uint8)
+        # decode + RAM cache shared with every other dataset family
+        # (DecodeCacheMixin): image_lst is the eager-decode universe
+        self.image_lst = [p for p, _ in self.samples]
+        self.sketch_lst: list[str] = []
+        self._init_decode_cache(load_images, cache_size)
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -93,6 +84,4 @@ class ImageFolderDataset:
 
     def __getitem__(self, idx: int, rng=None) -> dict:
         path, label = self.samples[idx]
-        image = (self._cache[idx] if self._cache is not None
-                 else self._decode(path))
-        return {"image": image, "label": label}
+        return {"image": self._decode(path), "label": label}

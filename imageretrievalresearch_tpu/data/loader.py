@@ -78,7 +78,14 @@ class TripletLoader:
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
-        return -(-n // self.batch_size)
+        nb = -(-n // self.batch_size)
+        if self.process_count > 1 and nb:
+            # a final batch smaller than the process count is dropped
+            # entirely (see the per-batch slicing in __iter__)
+            final = n - (nb - 1) * self.batch_size
+            if final // self.process_count == 0:
+                nb -= 1
+        return nb
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -186,10 +193,22 @@ class TripletLoader:
         if self.process_count > 1:
             # contiguous per-process slice of each GLOBAL batch: process r
             # owns rows [r*per, (r+1)*per), matching the row order
-            # jax.make_array_from_process_local_data assembles device-wise
-            per = self.batch_size // self.process_count
-            lo = self.process_index * per
-            batches = [b[lo:lo + per] for b in batches]
+            # jax.make_array_from_process_local_data assembles device-wise.
+            # `per` is computed PER BATCH (not from batch_size): a
+            # drop_last=False partial final batch must still split into
+            # EQUAL local slices, because every process must make the same
+            # run/skip decision for the collective eval step and
+            # make_array_from_process_local_data requires uniform local
+            # shapes — up to process_count-1 trailing rows of a partial
+            # batch are dropped (identically on every process). A batch
+            # smaller than the process count yields empty slices and is
+            # dropped entirely (again identically everywhere).
+            def _slice(b: np.ndarray) -> np.ndarray:
+                per = len(b) // self.process_count
+                lo = self.process_index * per
+                return b[lo:lo + per]
+
+            batches = [s for s in map(_slice, batches) if len(s)]
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

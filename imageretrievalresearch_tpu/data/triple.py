@@ -53,7 +53,8 @@ class TripleDataset(DecodeCacheMixin):
     def __init__(self, photo_root: str, sketch_root: str,
                  transform=None, seed: int = 0, split: str = "all",
                  val_fraction: float = 0.2, load_images: bool = False,
-                 cache_size: int | None = None):
+                 cache_size: int | None = None,
+                 cache_store: dict | None = None):
         """``split='train'|'val'`` holds out a seeded ``val_fraction`` of
         the photo queries (the reference T4 flow splits its TripleDataset
         with a fixed ``random_split([5000, 474])``,
@@ -80,12 +81,15 @@ class TripleDataset(DecodeCacheMixin):
         }
         # decode-once RAM cache (same -c / --cache surface as the other
         # dataset families): image_lst/sketch_lst are the path universes
-        # the mixin eagerly decodes
+        # the mixin eagerly decodes. The sketch universe is the WHOLE tree
+        # regardless of split (positives/negatives are drawn by class, not
+        # by holdout), so sibling train/val instances should share one
+        # ``cache_store`` to avoid decoding + holding it twice.
         self.image_lst = list(self.photo_paths)
         self.sketch_lst = [os.path.join(sketch_root, c, f)
                            for c, files in self._sketches.items()
                            for f in files]
-        self._init_decode_cache(load_images, cache_size)
+        self._init_decode_cache(load_images, cache_size, cache_store)
 
     def __len__(self) -> int:
         return self.len

@@ -248,7 +248,11 @@ class Trainer:
         # batch (shard_batch assembles the global array across processes),
         # so shardability is local rows vs THIS process's device count —
         # gating on the global n_dev would skip every multi-process batch
-        # whose local slice is smaller than the full mesh
+        # whose local slice is smaller than the full mesh. This decision
+        # gates entry into a COLLECTIVE program, so it must be identical on
+        # every process: TripletLoader guarantees equal local slices for
+        # every batch (partial batches are trimmed to a process_count
+        # multiple, identically everywhere).
         n_local_dev = max(n_dev // max(jax.process_count(), 1), 1)
         agg: dict[str, list] = {}
         sizes: list[int] = []

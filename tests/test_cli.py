@@ -508,6 +508,49 @@ class TestGalleryCLI:
             b.submit(np.zeros((1, 2, 2, 3), np.uint8), 0)
         b.stop()
 
+    def test_release_pending_preserves_stop_sentinel(self):
+        """A submit racing stop() drains the queue while the worker is
+        still busy in search_fn; if that drain swallowed the stop()
+        sentinel, the worker would block in Queue.get forever — the exact
+        thread leak stop() exists to prevent."""
+        import threading
+        import time
+
+        import numpy as np
+
+        from imageretrievalresearch_tpu.cli.gallery import _MicroBatcher
+
+        gate = threading.Event()
+
+        def gated_search(xs, nu):
+            gate.wait(timeout=30)      # worker held "compiling"
+            return [{"ok": True} for _ in xs]
+
+        b = _MicroBatcher(gated_search, max_batch=4)
+        t = threading.Thread(
+            target=lambda: b.submit(np.zeros((1, 2, 2, 3), np.uint8), 0))
+        t.start()
+        deadline = time.time() + 5.0   # wait until the worker dequeued the
+        while not b._q.empty() and time.time() < deadline:  # submit's slot
+            time.sleep(0.01)
+        time.sleep(0.05)               # ...and entered gated_search
+        # stop()'s sentinel lands while the worker is busy; a racing
+        # submit's drain runs next (the interleaving under test)
+        b._stopped = True
+        b._q.put(None)
+        slot = {"x": np.zeros((1, 2, 2, 3), np.uint8), "nu": 0,
+                "ev": threading.Event()}
+        b._q.put(slot)
+        b._release_pending()
+        # the raced slot is errored out, the sentinel survives
+        assert isinstance(slot.get("err"), RuntimeError)
+        assert slot["ev"].is_set()
+        gate.set()                     # worker finishes, must see the
+        t.join(timeout=10)             # sentinel and exit
+        b._thread.join(timeout=10)
+        assert not b._thread.is_alive(), "worker leaked: sentinel swallowed"
+        b.stop()                       # idempotent
+
     def test_concurrent_posts_all_answered(self, tree, tmp_path, capsys):
         """e2e: concurrent POSTs against the live endpoint all return
         correct rankings and are counted by the batcher."""

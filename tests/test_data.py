@@ -186,6 +186,31 @@ class TestImageDatasets:
         assert item["P"].shape == (16, 16, 3)
         assert item["S"].shape == (16, 16, 3)
 
+    def test_triple_dataset_shared_cache_store(self, tmp_path):
+        """The train CLI's train/val TripleDataset pair shares one decode
+        cache: the sketch universe is split-independent, so a second
+        instance must reuse (not re-decode, not re-hold) the first's
+        arrays."""
+        photo_root, sketch_root = make_classfolder_tree(str(tmp_path / "cf"))
+        store: dict = {}
+        tr = TripleDataset(photo_root, sketch_root, split="train",
+                           load_images=True, cache_size=16,
+                           cache_store=store)
+        n_after_train = len(store)
+        decoded_by_train = {p: id(a) for p, a in store.items()}
+        va = TripleDataset(photo_root, sketch_root, split="val",
+                           load_images=True, cache_size=16,
+                           cache_store=store)
+        assert tr._cache is store and va._cache is store
+        # every sketch was already decoded by the train instance; only
+        # photos unseen by the train split could be new — on this tree the
+        # splits cover the same photo universe, so nothing is re-decoded
+        for p, aid in decoded_by_train.items():
+            assert id(store[p]) == aid, f"re-decoded {p}"
+        assert len(store) >= n_after_train
+        item = va.__getitem__(0, rng=np.random.default_rng(0))
+        assert item["S"].shape == (16, 16, 3)
+
 
 class TestTripletLoader:
     def test_batches(self, sketchy_root):
@@ -216,6 +241,38 @@ class TestTripletLoader:
         dl = TripletLoader(ds, batch_size=4, num_workers=1, host_size=24)
         b = next(iter(dl))
         assert b["qry"].shape == (4, 24, 24, 3)
+
+    def test_multiprocess_partial_batch_even_slices(self, sketchy_root):
+        """drop_last=False partial batches must split into EQUAL per-process
+        slices (trailing remainder dropped identically everywhere): unequal
+        local sizes would desynchronize the processes' run/skip decision for
+        the collective eval step — some enter the SPMD program, others skip
+        it, and the run deadlocks."""
+        ds = SketchyImageDataset(data_dir=sketchy_root)
+        n = len(ds)
+        bs = 6  # even (divides process_count) and 32 % 6 == 2: partial batch
+        assert n % bs != 0, "fixture must leave a partial final batch"
+        single = list(TripletLoader(ds, bs, shuffle=False, drop_last=False,
+                                    num_workers=1))
+        parts = [list(TripletLoader(ds, bs, shuffle=False, drop_last=False,
+                                    num_workers=1, process_index=r,
+                                    process_count=2)) for r in range(2)]
+        assert len(parts[0]) == len(parts[1])
+        for b0, b1 in zip(*parts):
+            # the collective-consistency invariant: identical local sizes
+            assert b0["qry"].shape[0] == b1["qry"].shape[0] > 0
+        # batches of fewer rows than the process count vanish entirely
+        # (identically on every process); the rest keep 2*(m//2) rows and
+        # reassemble the single-process composition exactly
+        kept = [sb for sb in single if sb["qry"].shape[0] >= 2]
+        assert len(parts[0]) == len(kept)
+        saw_partial = False
+        for i, sb in enumerate(kept):
+            m = sb["qry"].shape[0]
+            saw_partial |= m < bs
+            glob = np.concatenate([parts[0][i]["qry"], parts[1][i]["qry"]])
+            np.testing.assert_array_equal(glob, sb["qry"][: 2 * (m // 2)])
+        assert saw_partial, "test never exercised a partial batch"
 
     def test_abandoned_iterator_releases_producer_thread(self, sketchy_root):
         """Breaking out of iteration mid-epoch must not leave the producer
