@@ -130,3 +130,25 @@ def make_classfolder_tree(root: str, *, n_classes: int = 3, n_photos: int = 3,
         for i in range(n_sketches):
             _write_im(os.path.join(sketch_root, cls, f"s{i}.png"), rng, size)
     return photo_root, sketch_root
+
+
+def make_imagefolder_tree(root: str, *, n_classes: int = 3,
+                          n_images: int = 4, size: int = 64, seed: int = 0,
+                          structured: bool = False) -> str:
+    """torchvision-ImageFolder layout for the T5 classifier: one subfolder
+    per class (reference train/train_vit_crossentropy.py:50).
+
+    ``structured=True`` gives each class a learnable low-frequency pattern
+    (same generator as :func:`make_sketchy_tree`) so held-out top-1 is a
+    live quality signal for the convergence-parity harness.
+    """
+    rng = np.random.default_rng(seed)
+    for c in range(n_classes):
+        cls = f"class{c}"
+        for i in range(n_images):
+            path = os.path.join(root, cls, f"im{i}.jpg")
+            if structured:
+                _write_structured(path, rng, size, c, 0, sketch=False)
+            else:
+                _write_im(path, rng, size)
+    return root

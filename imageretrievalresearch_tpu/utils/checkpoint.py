@@ -20,9 +20,16 @@ class CheckpointManager:
         self.monitor = monitor
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        # Lightning's ModelCheckpoint replaces only on STRICT improvement
+        # (monitor_op is torch.gt/lt), so among exactly tied metric values
+        # the EARLIEST epoch survives; orbax keeps the newest. A step
+        # penalty far below metric resolution (1e-12 x step) reproduces the
+        # reference's tie-breaking — it only ever decides exact ties.
+        sign = 1.0 if mode == "max" else -1.0
         options = ocp.CheckpointManagerOptions(
             max_to_keep=save_top_k,
-            best_fn=lambda m: float(m[monitor]),
+            best_fn=lambda m: (float(m[monitor])
+                               - sign * 1e-12 * float(m.get("_step", 0.0))),
             best_mode=mode,
             enable_async_checkpointing=True,
         )
@@ -30,7 +37,8 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any, metrics: dict) -> None:
         self._mgr.save(step, args=ocp.args.StandardSave(state),
-                       metrics={self.monitor: float(metrics[self.monitor])})
+                       metrics={self.monitor: float(metrics[self.monitor]),
+                                "_step": float(step)})
 
     def restore(self, state_like: Any, step: int | None = None) -> Any:
         step = step if step is not None else self._mgr.best_step()

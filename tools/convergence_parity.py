@@ -29,6 +29,10 @@ Recipes:
       seed-jittered device run — bounds the TPU path's <=1 px rotate
       drift against seed noise. (A draw-for-draw torch comparison is
       impossible: the two samplers consume randomness differently.)
+  t5  ImageFolder CE classification, shrunken Swin
+      (train/train_vit_crossentropy.py): real Trainer with the val_top1
+      monitor (:335-336) vs the literal torch loop — completes the
+      recipe matrix at the convergence level.
 
 Run:  python tools/convergence_parity.py --recipe t3 --epochs 6 \
           --out /tmp/parity_t3.json
@@ -476,6 +480,238 @@ def run_experiment(workdir: str, *, recipe: str = "t3", epochs: int = 6,
     return out
 
 
+# -------------------------------------------------- classifier (t5) mode --
+
+def _to_float_img(b: dict) -> np.ndarray:
+    """The Trainer's plain classifier transform at host size (/255)."""
+    return b["image"].astype(np.float32) / 255.0
+
+
+def make_if_loader(tree: str, part: str, bs: int, *, seed: int = 0,
+                   shuffle: bool = True, drop_last: bool = True):
+    from imageretrievalresearch_tpu.data import TripletLoader
+    from imageretrievalresearch_tpu.data.imagefolder import (
+        ImageFolderDataset,
+    )
+
+    ds = ImageFolderDataset(tree, split=part, seed=42)
+    return TripletLoader(ds, bs, num_workers=2, seed=seed, shuffle=shuffle,
+                         drop_last=drop_last)
+
+
+def torch_classifier_eval(tmodel, loader) -> dict:
+    """Trainer._eval_epoch semantics (batch-size-weighted means) with the
+    torch classifier; top-k via the repo's parity-tested metric fn."""
+    import jax.numpy as jnp
+    import torch
+
+    from imageretrievalresearch_tpu import metrics as M
+
+    tmodel.eval()
+    agg: dict[str, list] = {}
+    sizes: list[int] = []
+    ce = torch.nn.CrossEntropyLoss()
+    with torch.no_grad():
+        for b in loader:
+            x = torch.from_numpy(_to_float_img(b).transpose(0, 3, 1, 2))
+            lbl = torch.from_numpy(np.asarray(b["label"])).long()
+            logits = tmodel(x)
+            tk = M.classifier_topk(jnp.asarray(logits.numpy()),
+                                   jnp.asarray(np.asarray(b["label"])), k=3)
+            rec = {"val_loss": float(ce(logits, lbl)),
+                   "val_top3": float(tk["top3"]),
+                   "val_top1": float(tk["top1"])}
+            sizes.append(int(lbl.shape[0]))
+            for k, v in rec.items():
+                agg.setdefault(k, []).append(v)
+    return {k: float(np.average(v, weights=sizes)) for k, v in agg.items()}
+
+
+def jax_classifier_eval(bb, variables, loader) -> dict:
+    """Same evaluation with the flax model (no Trainer machinery — used to
+    score the restored best/last checkpoints)."""
+    import jax.numpy as jnp
+
+    from imageretrievalresearch_tpu import losses as L
+    from imageretrievalresearch_tpu import metrics as M
+
+    agg: dict[str, list] = {}
+    sizes: list[int] = []
+    for b in loader:
+        x = jnp.asarray(_to_float_img(b))
+        _, logits = bb.features_and_logits(variables, x, train=False,
+                                           rngs=None)
+        lbl = jnp.asarray(np.asarray(b["label"]))
+        tk = M.classifier_topk(logits, lbl, k=3)
+        rec = {"val_loss": float(L.cross_entropy_loss(logits, lbl)),
+               "val_top3": float(tk["top3"]), "val_top1": float(tk["top1"])}
+        sizes.append(int(np.asarray(b["label"]).shape[0]))
+        for k, v in rec.items():
+            agg.setdefault(k, []).append(v)
+    return {k: float(np.average(v, weights=sizes)) for k, v in agg.items()}
+
+
+def torch_train_classifier(cfg, tmodel, train_loader, val_loader,
+                           epochs: int, milestones):
+    """The literal reference T5 loop (train/train_vit_crossentropy.py:
+    180-223): CE over folder classes, AdamW + per-epoch MultiStepLR,
+    best-checkpoint + early stop on val_top1, mode max (:327-336)."""
+    import torch
+
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=cfg.learning_rate,
+                            weight_decay=cfg.weight_decay)
+    sched = torch.optim.lr_scheduler.MultiStepLR(
+        opt, milestones=list(milestones), gamma=cfg.lr_gamma)
+    ce = torch.nn.CrossEntropyLoss()
+    history = {"epochs": []}
+    best_val, best_sd, bad_epochs = -np.inf, None, 0
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        tmodel.train()
+        losses = []
+        for b in train_loader:
+            x = torch.from_numpy(_to_float_img(b).transpose(0, 3, 1, 2))
+            lbl = torch.from_numpy(np.asarray(b["label"])).long()
+            loss = ce(tmodel(x), lbl)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.detach()))
+        sched.step()
+        em = {"train_loss": float(np.mean(losses))}
+        em.update(torch_classifier_eval(tmodel, val_loader))
+        history["epochs"].append(em)
+        if em["val_top1"] > best_val:
+            best_val = em["val_top1"]
+            best_sd = copy.deepcopy(tmodel.state_dict())
+            history["best_epoch"] = epoch
+            bad_epochs = 0
+        else:
+            bad_epochs += 1
+        if bad_epochs >= cfg.early_stop_patience:
+            history["stopped_early"] = epoch
+            break
+    last_sd = copy.deepcopy(tmodel.state_dict())
+    if best_sd is None:
+        raise RuntimeError(
+            "torch classifier never produced a finite best val_top1; "
+            f"last epoch metrics: {history['epochs'][-1]}")
+    tmodel.load_state_dict(best_sd)
+    return tmodel, last_sd, history
+
+
+def run_t5_experiment(workdir: str, *, epochs: int = 8, batch_size: int = 8,
+                      size: int = 56, n_classes: int = 6, n_images: int = 24,
+                      milestones=(4, 6), lr: float = 1e-3, wd: float = 1e-5,
+                      phase: str = "all") -> dict | None:
+    """T5 at the convergence level: the ImageFolder CE classifier through
+    the real Trainer (fused classifier steps, MultiStepLR, best-checkpoint
+    + early-stop on val_top1) vs the literal torch loop, identical init
+    (converter) and identical batches (same-seed loaders). Reports the
+    val-split metric trajectories plus the metrics of the best/last models
+    each side selected. ``phase`` chunks as in :func:`run_experiment`."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from test_convert_swin import TorchSwin
+
+    from imageretrievalresearch_tpu.config import TrainConfig
+    from imageretrievalresearch_tpu.data.synthetic import (
+        make_imagefolder_tree,
+    )
+    from imageretrievalresearch_tpu.models import create_model
+    from imageretrievalresearch_tpu.models.convert import (
+        convert_torch_state_dict,
+    )
+
+    assert size == 56, "the TorchSwin replica is fixed at 56 px"
+    os.makedirs(workdir, exist_ok=True)
+    tree = make_imagefolder_tree(os.path.join(workdir, "tree"),
+                                 n_classes=n_classes, n_images=n_images,
+                                 size=size, structured=True)
+    cfg = TrainConfig(model_name="swin_tiny_patch4_window7_224",
+                      dataset="imagefolder", batch_size=batch_size,
+                      image_size=size, compute_dtype="float32",
+                      learning_rate=lr, weight_decay=wd,
+                      milestones=tuple(milestones), max_epochs=epochs,
+                      only_feature_embeddings=None, only_target_labels=True,
+                      monitor="val_top1")
+    assert cfg.effective_task == "classification"
+    torch.manual_seed(0)
+    tmodel = TorchSwin(num_classes=n_classes)
+    bb = create_model(cfg.model_name, num_classes=n_classes, img_size=size,
+                      embed_dim=24, depths=(2, 2), num_heads=(2, 4),
+                      window_sizes=(7, 7), drop_path_rate=0.0)
+    variables = bb.init(jax.random.key(0), jnp.zeros((1, size, size, 3)))
+    variables = convert_torch_state_dict(tmodel.state_dict(), bb, variables,
+                                         strict=True)
+
+    jvars_path = os.path.join(workdir, "jax_best.pkl")
+    jhist_path = os.path.join(workdir, "jax_hist.json")
+    tsd_path = os.path.join(workdir, "torch_best.pt")
+    thist_path = os.path.join(workdir, "torch_hist.json")
+
+    if phase in ("all", "jax"):
+        tl = make_if_loader(tree, "train", batch_size)
+        vl = make_if_loader(tree, "val", batch_size, seed=1, shuffle=False,
+                            drop_last=False)
+        jbest, jlast, jhist = jax_train(cfg, bb, variables, tl, vl, workdir)
+        with open(jvars_path, "wb") as f:
+            pickle.dump({"best": jbest, "last": jlast}, f)
+        with open(jhist_path, "w") as f:
+            json.dump(jhist, f)
+        if phase == "jax":
+            return None
+    if phase in ("all", "torch"):
+        tor_tl = make_if_loader(tree, "train", batch_size)
+        tor_vl = make_if_loader(tree, "val", batch_size, seed=1,
+                                shuffle=False, drop_last=False)
+        tmodel, tlast_sd, thist = torch_train_classifier(
+            cfg, tmodel, tor_tl, tor_vl, epochs, milestones)
+        torch.save({"best": tmodel.state_dict(), "last": tlast_sd}, tsd_path)
+        with open(thist_path, "w") as f:
+            json.dump(thist, f)
+        if phase == "torch":
+            return None
+
+    with open(jvars_path, "rb") as f:
+        jv = pickle.load(f)
+    jhist = json.load(open(jhist_path))
+    tsd = torch.load(tsd_path)
+    thist = json.load(open(thist_path))
+
+    eval_loader = make_if_loader(tree, "val", batch_size, seed=2,
+                                 shuffle=False, drop_last=False)
+    final = {}
+    for which in ("best", "last"):
+        tmodel.load_state_dict(tsd[which])
+        jm = jax_classifier_eval(bb, jv[which], eval_loader)
+        tm = torch_classifier_eval(tmodel, eval_loader)
+        final[which] = {"jax": jm, "torch": tm,
+                        "abs_diff": {k: abs(jm[k] - tm[k]) for k in jm}}
+
+    def traj(hist, key):
+        return [e[key] for e in hist["epochs"] if key in e]
+
+    jbest_ep = int(np.argmax(traj(jhist, "val_top1")))
+    tbest_ep = thist.get("best_epoch", int(np.argmax(traj(thist,
+                                                          "val_top1"))))
+    return {
+        "recipe": "t5", "epochs": epochs,
+        "best_epoch": {"jax": jbest_ep, "torch": int(tbest_ep)},
+        "train_loss": {"jax": traj(jhist, "train_loss"),
+                       "torch": traj(thist, "train_loss")},
+        "val_top1": {"jax": traj(jhist, "val_top1"),
+                     "torch": traj(thist, "val_top1")},
+        "val_top3": {"jax": traj(jhist, "val_top3"),
+                     "torch": traj(thist, "val_top3")},
+        "final_val": final,
+    }
+
+
 # ------------------------------------------------- autoaugment (aa) mode --
 
 def pil_imagenet_policy(im, rng: np.random.Generator):
@@ -681,7 +917,7 @@ def run_aa_experiment(workdir: str, *, epochs: int = 6, batch_size: int = 8,
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--recipe", choices=["t1", "t3", "t4", "aa"],
+    p.add_argument("--recipe", choices=["t1", "t3", "t4", "t5", "aa"],
                    default="t3")
     p.add_argument("--epochs", type=int, default=6)
     p.add_argument("--workdir", default="/tmp/convergence_parity")
@@ -707,6 +943,9 @@ def main() -> None:
     if args.recipe == "aa":
         out = run_aa_experiment(wd, epochs=args.epochs, only=args.aa_run,
                                 milestones=ms)
+    elif args.recipe == "t5":
+        out = run_t5_experiment(wd, epochs=args.epochs, phase=args.phase,
+                                milestones=ms, lr=args.lr)
     else:
         out = run_experiment(wd, recipe=args.recipe, epochs=args.epochs,
                              phase=args.phase, milestones=ms, lr=args.lr)
