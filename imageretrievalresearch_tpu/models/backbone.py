@@ -25,6 +25,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from imageretrievalresearch_tpu.models.darknet import (
+    DARKNET_CONFIGS,
+    DarkNet,
+)
 from imageretrievalresearch_tpu.models.efficientnet import (
     EFFICIENTNET_CONFIGS,
     EfficientNet,
@@ -48,6 +52,7 @@ _register_family(EFFICIENTNET_CONFIGS, EfficientNet)
 _register_family(REXNET_CONFIGS, RexNet)
 _register_family(SWIN_CONFIGS, SwinTransformer)
 _register_family(RESNET_CONFIGS, ResNet)
+_register_family(DARKNET_CONFIGS, DarkNet)
 
 
 def list_models() -> list[str]:

@@ -191,6 +191,39 @@ def resnet_key_map(layers) -> dict:
     return m
 
 
+def darknet_key_map(depths) -> dict:
+    """Modern-timm cspnet darknet53 naming -> our module paths.
+
+    timm: stem.conv1.{conv,bn}; stages.{s}.conv_down.{conv,bn};
+    stages.{s}.blocks.{b}.conv{1,2}.{conv,bn}; head.fc. (timm 0.4.12 — the
+    reference's pin — has no darknet53 at all; see models/darknet.py.)
+    """
+    m: dict = {}
+    ff = ("forward_features",)
+    bn_fields = (("weight", "scale", "bn_scale"), ("bias", "bias", "bn_bias"),
+                 ("running_mean", "mean", "bn_mean"),
+                 ("running_var", "var", "bn_var"))
+
+    def conv_bn(t_prefix, conv_dst, bn_dst):
+        m[f"{t_prefix}.conv.weight"] = (ff + conv_dst + ("kernel",), "conv")
+        for t_suf, ours, kind in bn_fields:
+            m[f"{t_prefix}.bn.{t_suf}"] = (ff + bn_dst + (ours,), kind)
+
+    conv_bn("stem.conv1", ("stem_conv",), ("stem_bn",))
+    for s, depth in enumerate(depths):
+        conv_bn(f"stages.{s}.conv_down",
+                (f"stage{s}_down_conv",), (f"stage{s}_down_bn",))
+        for b in range(depth):
+            blk = f"stage{s}_block{b}"
+            conv_bn(f"stages.{s}.blocks.{b}.conv1",
+                    (blk, "conv1"), (blk, "bn1"))
+            conv_bn(f"stages.{s}.blocks.{b}.conv2",
+                    (blk, "conv2"), (blk, "bn2"))
+    m["head.fc.weight"] = (("head", "fc", "kernel"), "linear")
+    m["head.fc.bias"] = (("head", "fc", "bias"), "bias")
+    return m
+
+
 def swin_key_map(depths, num_heads) -> dict:
     """timm SwinTransformer naming -> our module paths.
 
@@ -244,6 +277,7 @@ _FAMILY_MAPPERS = {
                                            net.ch_div),
     r"^swin": lambda net: swin_key_map(net.depths, net.num_heads),
     r"^(ig_)?resne(t|xt)": lambda net: resnet_key_map(net.layers),
+    r"^darknet": lambda net: darknet_key_map(net.depths),
 }
 
 
