@@ -26,6 +26,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 pid, nproc, port, tree = (int(sys.argv[1]), int(sys.argv[2]),
                           sys.argv[3], sys.argv[4])
+ckpt_dir = sys.argv[5] if len(sys.argv) > 5 else None
 if nproc > 1:
     jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                                num_processes=nproc, process_id=pid)
@@ -36,7 +37,7 @@ from imageretrievalresearch_tpu.train import Trainer
 
 cfg = TrainConfig(model_name="efficientnet_b0", batch_size=8, image_size=32,
                   compute_dtype="float32", max_epochs=1, learning_rate=1e-3,
-                  log_every_n_steps=1000)
+                  log_every_n_steps=1000, checkpoint_dir=ckpt_dir)
 ds = SketchyImageDataset(data_dir=tree)
 dl = TripletLoader(ds, cfg.batch_size, num_workers=2, seed=0,
                    process_index=jax.process_index(),
@@ -54,10 +55,19 @@ state, history = trainer.fit(max_epochs=1)
 last = history['epochs'][-1]
 print(f"FINAL_LOSS {last['train_loss']:.6f}", flush=True)
 print(f"VAL_COS {last['cos_sims']:.6f} {last['val_loss']:.6f}", flush=True)
+if ckpt_dir:
+    # the orbax save barrier requires EVERY process to participate
+    # (train/trainer.py); a restore must agree across processes too
+    best = trainer.ckpt.best_step()
+    restored = trainer.ckpt.restore(jax.device_get(state), step=best)
+    probe = jax.tree.leaves(restored.params)[0]
+    import numpy as np
+    print(f"CKPT {best} {float(np.asarray(probe).ravel()[0]):.8f}",
+          flush=True)
 """
 
 
-def _spawn(pid, nproc, ndev, port, tree, repo):
+def _spawn(pid, nproc, ndev, port, tree, repo, ckpt_dir=None):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
                         # never start the remote-TPU client in CPU workers
@@ -66,11 +76,13 @@ def _spawn(pid, nproc, ndev, port, tree, repo):
                         "PALLAS_AXON_POOL_IPS", "_AXON_REGISTERED")}
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
     env["PYTHONPATH"] = repo
+    argv = [sys.executable, "-c", _WORKER, str(pid), str(nproc), str(port),
+            tree]
+    if ckpt_dir:
+        argv.append(ckpt_dir)
     return subprocess.Popen(
-        [sys.executable, "-c", _WORKER, str(pid), str(nproc), str(port),
-         tree],
-        env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-        text=True)
+        argv, env=env, cwd=repo, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True)
 
 
 def _final_loss(out: str) -> float:
@@ -78,6 +90,13 @@ def _final_loss(out: str) -> float:
         if line.startswith("FINAL_LOSS"):
             return float(line.split()[1])
     raise AssertionError(f"no FINAL_LOSS in output:\n{out}")
+
+
+def _ckpt_line(out: str) -> str:
+    for line in out.splitlines():
+        if line.startswith("CKPT"):
+            return line
+    raise AssertionError(f"no CKPT in output:\n{out}")
 
 
 def _val_metrics(out: str) -> tuple[float, float]:
@@ -99,14 +118,21 @@ class TestMultiProcessDP:
             s.bind(("localhost", 0))
             port = s.getsockname()[1]
 
-        # 2 processes x 4 virtual devices, coordinated
-        workers = [_spawn(pid, 2, 4, port, tree, repo) for pid in range(2)]
+        # 2 processes x 4 virtual devices, coordinated; all processes
+        # participate in the SAME orbax checkpoint directory (the save
+        # barrier deadlocks if any process skips — train/trainer.py)
+        ckpt_dir = str(tmp_path / "ckpt_multi")
+        workers = [_spawn(pid, 2, 4, port, tree, repo, ckpt_dir)
+                   for pid in range(2)]
         outs = [w.communicate(timeout=540) for w in workers]
         for w, (so, se) in zip(workers, outs):
             assert w.returncode == 0, (so, se)
         multi = _final_loss(outs[0][0])
         multi_val = _val_metrics(outs[0][0])
         assert multi == pytest.approx(_final_loss(outs[1][0]), rel=1e-6)
+        # both processes restored the same best checkpoint
+        cks = [_ckpt_line(o[0]) for o in outs]
+        assert cks[0] == cks[1], cks
 
         # 1 process x 8 virtual devices, same seeds
         single = _spawn(0, 1, 8, port, tree, repo)
