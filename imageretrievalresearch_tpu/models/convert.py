@@ -383,6 +383,15 @@ def load_checkpoint(checkpoint_path: str, backbone,
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(checkpoint_path)
+        # Trainer CheckpointManager layout: best/ (top-k by monitor) +
+        # last/ (most recent, for resume). Prefer the best set; fall back
+        # to last/ when best/ is empty. Older flat layouts keep working.
+        for sub in ("best", "last"):
+            subpath = os.path.join(path, sub)
+            if os.path.isdir(subpath) and any(
+                    d.isdigit() for d in os.listdir(subpath)):
+                path = subpath
+                break
         step_dirs = [d for d in os.listdir(path)
                      if d.isdigit() and os.path.isdir(os.path.join(path, d))]
         if step_dirs:

@@ -22,13 +22,9 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from imageretrievalresearch_tpu.models.layers import torch_pad
+from imageretrievalresearch_tpu.models.layers import make_divisible, torch_pad
 
 _LEAKY_SLOPE = 0.1  # canonical darknet activation
-
-
-def _make_divisible(v: float, divisor: int = 8) -> int:
-    return max(divisor, int(v + divisor / 2) // divisor * divisor)
 
 
 class DarkBlock(nn.Module):
@@ -61,7 +57,7 @@ class DarkNet(nn.Module):
 
     def _chs(self, base: int) -> int:
         return (base if self.width_mult == 1.0
-                else _make_divisible(base * self.width_mult))
+                else make_divisible(base * self.width_mult))
 
     @nn.compact
     def __call__(self, x, train: bool = False):

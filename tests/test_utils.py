@@ -122,3 +122,47 @@ class TestLRFinder:
         assert out["suggestion"] is not None
         assert 1e-6 < out["suggestion"] < 10.0
         assert len(out["losses"]) > 10
+
+
+class TestCheckpointManager:
+    """Lightning-parity retention semantics (utils/checkpoint.py):
+    earliest save wins exact metric ties (strict-improvement replacement),
+    while the most recent save stays restorable for resume even after
+    best-k retention discards it."""
+
+    def _save(self, mgr, step, value, metric=1.0):
+        mgr.save(step, {"w": np.full((2,), float(value), np.float32)},
+                 {"cos_sims": metric})
+
+    def test_tied_monitor_keeps_earliest_and_latest_survives(self, tmp_path):
+        from imageretrievalresearch_tpu.utils.checkpoint import (
+            CheckpointManager,
+        )
+
+        mgr = CheckpointManager(str(tmp_path / "ck"), monitor="cos_sims",
+                                mode="max", save_top_k=1)
+        for step in (5, 10, 15):      # constant monitor: all exact ties
+            self._save(mgr, step, value=step)
+        mgr.wait()
+        # Lightning replaces only on strict improvement -> first tie wins
+        assert mgr.best_step() == 5
+        # ...but resume must continue from the newest save, not the best
+        assert mgr.latest_step() == 15
+        like = {"w": np.zeros((2,), np.float32)}
+        assert float(mgr.restore(like, step=15)["w"][0]) == 15.0
+        assert float(mgr.restore(like)["w"][0]) == 5.0
+        mgr.close()
+
+    def test_strict_improvement_still_replaces(self, tmp_path):
+        from imageretrievalresearch_tpu.utils.checkpoint import (
+            CheckpointManager,
+        )
+
+        mgr = CheckpointManager(str(tmp_path / "ck"), monitor="cos_sims",
+                                mode="max", save_top_k=1)
+        self._save(mgr, 1, value=1, metric=0.5)
+        self._save(mgr, 2, value=2, metric=0.9)   # genuine improvement
+        self._save(mgr, 3, value=3, metric=0.9)   # tie with step 2
+        mgr.wait()
+        assert mgr.best_step() == 2
+        mgr.close()

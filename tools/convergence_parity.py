@@ -318,9 +318,14 @@ class _TransformedLoader:
 
 def _setup(workdir: str, *, recipe: str, epochs: int, batch_size: int,
            size: int, n_cats: int, n_prods: int, n_photos: int,
-           n_sketches: int, milestones, lr: float, wd: float):
+           n_sketches: int, milestones, lr: float, wd: float,
+           need_jax_init: bool = True):
     """Deterministic shared context for every phase: tree, split, config,
-    identical init (torch weights converted into flax)."""
+    identical init (torch weights converted into flax). The flax init +
+    strict conversion cost real XLA:CPU compile time; phases that never
+    touch the converted variables (torch-only training) skip them via
+    ``need_jax_init=False`` (the torch model, seeded identically, IS the
+    init source either way)."""
     import jax
     import jax.numpy as jnp
     import torch
@@ -370,10 +375,12 @@ def _setup(workdir: str, *, recipe: str, epochs: int, batch_size: int,
                              num_classes=n_cls)
         bb = create_model("efficientnet_b0", num_classes=n_cls,
                           depth_mult=0.1, width_mult=0.5, drop_rate=0.0)
-    variables = bb.init(jax.random.key(0),
-                        jnp.zeros((1, size, size, 3)))
-    variables = convert_torch_state_dict(tmodel.state_dict(), bb, variables,
-                                         strict=True)
+    variables = None
+    if need_jax_init:
+        variables = bb.init(jax.random.key(0),
+                            jnp.zeros((1, size, size, 3)))
+        variables = convert_torch_state_dict(tmodel.state_dict(), bb,
+                                             variables, strict=True)
     return tree, split, cfg, tmodel, bb, variables
 
 
@@ -403,7 +410,8 @@ def run_experiment(workdir: str, *, recipe: str = "t3", epochs: int = 6,
     tree, split, cfg, tmodel, bb, variables = _setup(
         workdir, recipe=recipe, epochs=epochs, batch_size=batch_size,
         size=size, n_cats=n_cats, n_prods=n_prods, n_photos=n_photos,
-        n_sketches=n_sketches, milestones=milestones, lr=lr, wd=wd)
+        n_sketches=n_sketches, milestones=milestones, lr=lr, wd=wd,
+        need_jax_init=phase in ("all", "jax"))
     jvars_path = os.path.join(workdir, "jax_best.pkl")
     jhist_path = os.path.join(workdir, "jax_hist.json")
     tsd_path = os.path.join(workdir, "torch_best.pt")
@@ -645,9 +653,13 @@ def run_t5_experiment(workdir: str, *, epochs: int = 8, batch_size: int = 8,
     bb = create_model(cfg.model_name, num_classes=n_classes, img_size=size,
                       embed_dim=24, depths=(2, 2), num_heads=(2, 4),
                       window_sizes=(7, 7), drop_path_rate=0.0)
-    variables = bb.init(jax.random.key(0), jnp.zeros((1, size, size, 3)))
-    variables = convert_torch_state_dict(tmodel.state_dict(), bb, variables,
-                                         strict=True)
+    if phase in ("all", "jax"):
+        # the flax init + strict conversion cost real XLA:CPU compile time;
+        # the torch-only and eval-only phases never read `variables`
+        variables = bb.init(jax.random.key(0),
+                            jnp.zeros((1, size, size, 3)))
+        variables = convert_torch_state_dict(tmodel.state_dict(), bb,
+                                             variables, strict=True)
 
     jvars_path = os.path.join(workdir, "jax_best.pkl")
     jhist_path = os.path.join(workdir, "jax_hist.json")
