@@ -280,7 +280,16 @@ def _build(args) -> None:
             chunk = paths[i:i + args.batch_size]
             x = _decode(chunk, args.host_size,
                         squarepad=transform == "squarepad")
-            emb = embed_fn(x)
+            # pad the final partial chunk to the full batch size (repeat
+            # the last image) so every dispatch reuses ONE compiled
+            # program — each distinct batch shape would otherwise pay a
+            # fresh XLA compile (~minutes each on a small host) per class
+            # remainder
+            n_real = x.shape[0]
+            if n_real < args.batch_size:
+                x = np.concatenate(
+                    [x, np.repeat(x[-1:], args.batch_size - n_real, 0)])
+            emb = embed_fn(x)[:n_real]
             if idx is None:
                 idx = GalleryIndex(emb.shape[1], meta={
                     "model": args.model_name,
@@ -439,6 +448,18 @@ class _MicroBatcher:
         return arr, n
 
     def _loop(self):
+        try:
+            self._loop_body()
+        finally:
+            # reached on the stop() sentinel, but ALSO when the worker
+            # dies unexpectedly (a BaseException escaping search_fn, e.g.
+            # a wedged device call turning into SystemExit): without this,
+            # _stopped stays False and every in-flight and future submit()
+            # blocks forever on a dead worker
+            self._stopped = True
+            self._release_pending()
+
+    def _loop_body(self):
         import queue
 
         import numpy as np
@@ -465,28 +486,36 @@ class _MicroBatcher:
                     break
                 items.append(it)
             self.requests += len(items)
-            by_nu: dict[int, list[int]] = {}
-            for i, it in enumerate(items):
-                by_nu.setdefault(it["nu"], []).append(i)
-            for nu, idxs in by_nu.items():
-                # failures are scoped to the group that dispatched them:
-                # a raise here must not clobber results other num_unique
-                # groups in the same drain already computed
-                try:
-                    xs = np.concatenate([items[i]["x"] for i in idxs])
-                    xs, m = self._pad_pow2(xs)
-                    self.dispatches += 1
-                    recs = self.search_fn(xs, nu)[:m]
-                    for i, rec in zip(idxs, recs):
-                        items[i]["rec"] = rec
-                except Exception as e:  # noqa: BLE001 — relayed per request
-                    for i in idxs:
-                        items[i]["err"] = e
+            try:
+                by_nu: dict[int, list[int]] = {}
+                for i, it in enumerate(items):
+                    by_nu.setdefault(it["nu"], []).append(i)
+                for nu, idxs in by_nu.items():
+                    # failures are scoped to the group that dispatched
+                    # them: a raise here must not clobber results other
+                    # num_unique groups in the same drain already computed
+                    try:
+                        xs = np.concatenate([items[i]["x"] for i in idxs])
+                        xs, m = self._pad_pow2(xs)
+                        self.dispatches += 1
+                        recs = self.search_fn(xs, nu)[:m]
+                        for i, rec in zip(idxs, recs):
+                            items[i]["rec"] = rec
+                    except Exception as e:  # noqa: BLE001 — per request
+                        for i in idxs:
+                            items[i]["err"] = e
+            except BaseException:
+                # a non-Exception escaping (SystemExit etc.) kills the
+                # worker; the CURRENT drain's items are already out of the
+                # queue, so _release_pending can't reach them — error them
+                # here or their submit() threads block forever
+                for it in items:
+                    it.setdefault("err", RuntimeError(
+                        "micro-batcher worker died"))
+                    it["ev"].set()
+                raise
             for it in items:
                 it["ev"].set()
-        # release any submits that raced with stop() so no request thread
-        # blocks forever on a dead worker
-        self._release_pending()
 
 
 def _serve(args) -> None:
@@ -509,6 +538,12 @@ def _make_server(args):
     from imageretrievalresearch_tpu.retrieval import GalleryIndex
 
     idx = GalleryIndex.load(args.gallery)
+    if not len(idx):
+        # fail fast: the fused search path below would happily compile a
+        # k=0 program over a (0, dim) gallery and answer every request
+        # with an empty ranking and status 200
+        raise SystemExit(
+            f"gallery artifact {args.gallery} is empty; build it first")
     stack = _load_stack(args, idx)
     transform, input_size = stack.transform, stack.input_size
 
@@ -614,6 +649,13 @@ def _make_server(args):
                     self._json(413, {"error": "body too large "
                                f"({n} > {_MAX_BODY_BYTES} bytes)"})
                     return
+                if n <= 0:
+                    # a negative Content-Length would turn rfile.read(n)
+                    # into read-until-EOF — exactly the unbounded buffering
+                    # the size cap exists to prevent
+                    self._json(400, {"error": "missing or invalid "
+                                              "Content-Length"})
+                    return
                 x = decode_canonical(self.rfile.read(n))
                 # concurrent requests coalesce into one device dispatch
                 rec = batcher.submit(x, nu_req)
@@ -621,6 +663,12 @@ def _make_server(args):
                     rec = {key: (v[:k_req] if isinstance(v, list) else v)
                            for key, v in rec.items()}
                 self._json(200, rec)
+            except RuntimeError as e:
+                # server-side faults (device/backend errors surface as
+                # RuntimeError/XlaRuntimeError; a stopped micro-batcher
+                # too): 503 so monitors and retry-on-5xx clients see a
+                # sick server, not a client mistake
+                self._json(503, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:     # noqa: BLE001 — report, keep serving
                 self._json(400, {"error": f"{type(e).__name__}: {e}"})
 

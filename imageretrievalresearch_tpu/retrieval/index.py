@@ -86,7 +86,22 @@ class GalleryIndex:
         if paths is not None and len(paths) != e.shape[0]:
             raise ValueError(f"{e.shape[0]} embeddings but {len(paths)} "
                              "paths")
-        self._embeds.append(np.asarray(l2_normalize(e)))
+        # normalize on the host CPU backend: the default device here may be
+        # a REMOTE accelerator (this sandbox's ~60 MB/s tunnel), and add()
+        # is host bookkeeping — round-tripping every embedding through the
+        # device link costs ~20 s per 100k x 1536 gallery for zero benefit.
+        # Using the XLA:CPU l2_normalize (not a numpy twin) keeps the
+        # stored values bitwise-identical to the test suite's CPU reference.
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                normed = np.asarray(l2_normalize(e))
+        else:
+            normed = np.asarray(l2_normalize(e))
+        self._embeds.append(normed)
         self._classes.append(c)
         self._paths.extend(paths if paths is not None
                            else [""] * e.shape[0])
@@ -155,9 +170,12 @@ class GalleryIndex:
             # code execution at load (the serve/query CLIs load whatever
             # path they're given) — this keeps load allow_pickle=False
             paths=np.asarray(self._paths, dtype=np.str_),
+            # user meta spreads FIRST: the structural fields load() depends
+            # on (version/dim/store_dtype) must win over same-named user
+            # keys, or a meta={'store_dtype': ...} entry corrupts the load
             meta=np.frombuffer(json.dumps(
-                {"version": version, "dim": self.dim,
-                 "store_dtype": store_dtype, **self.meta}).encode(),
+                {**self.meta, "version": version, "dim": self.dim,
+                 "store_dtype": store_dtype}).encode(),
                 dtype=np.uint8),
             **extra,
         )
@@ -276,6 +294,13 @@ class GalleryIndex:
         """
         if not len(self):
             raise ValueError("empty gallery")
+        if mesh is not None and method != "exact":
+            # sharded_cosine_topk has no approx variant; running exact and
+            # calling it 'approx' would silently misreport the latency/
+            # recall envelope the caller asked to measure
+            raise ValueError(
+                f"method={method!r} is not supported with mesh; the sharded"
+                " path is exact-only")
         q = jnp.asarray(np.asarray(queries, dtype=np.float32))
         k = min(k, len(self))
         if mesh is None:

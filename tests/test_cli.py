@@ -439,6 +439,17 @@ class TestGalleryCLI:
             assert conn.getresponse().status == 413
             conn.close()
 
+            # negative Content-Length -> 400, NOT read-until-EOF (a
+            # negative n would make rfile.read(n) buffer the socket
+            # unboundedly, bypassing the size cap)
+            conn = http.client.HTTPConnection(
+                "127.0.0.1", srv.server_address[1], timeout=30)
+            conn.putrequest("POST", "/search", skip_accept_encoding=True)
+            conn.putheader("Content-Length", "-1")
+            conn.endheaders()
+            assert conn.getresponse().status == 400
+            conn.close()
+
             # malformed body -> structured 400, server stays up
             bad = urllib.request.Request(base + "/search", data=b"not-an-img",
                                          method="POST")
@@ -452,6 +463,21 @@ class TestGalleryCLI:
         finally:
             srv.shutdown()
             srv.server_close()
+
+    def test_serve_rejects_empty_gallery(self, tmp_path):
+        """An empty artifact must fail at server startup, not answer 200
+        with empty rankings."""
+        from imageretrievalresearch_tpu.cli.gallery import (
+            _make_server,
+            build_parser,
+        )
+        from imageretrievalresearch_tpu.retrieval import GalleryIndex
+
+        art = str(tmp_path / "empty.npz")
+        GalleryIndex(8).save(art)
+        with pytest.raises(SystemExit, match="empty"):
+            _make_server(build_parser().parse_args(
+                ["serve", art, "--port", "0"]))
 
     def test_microbatcher_coalesces_concurrent_requests(self):
         """Concurrent submits drain into fewer device dispatches; results
@@ -507,6 +533,26 @@ class TestGalleryCLI:
         with pytest.raises(RuntimeError, match="boom"):
             b.submit(np.zeros((1, 2, 2, 3), np.uint8), 0)
         b.stop()
+
+    def test_worker_death_releases_inflight_and_future_submits(self):
+        """A non-Exception escaping search_fn (SystemExit: e.g. a wedged
+        device call aborting) kills the worker thread; the in-flight
+        request must get an error (not hang forever) and later submits
+        must fail fast instead of queueing onto a dead worker."""
+        import numpy as np
+
+        from imageretrievalresearch_tpu.cli.gallery import _MicroBatcher
+
+        def dying_search(xs, nu):
+            raise SystemExit(3)
+
+        b = _MicroBatcher(dying_search, max_batch=4)
+        with pytest.raises(RuntimeError, match="died"):
+            b.submit(np.zeros((1, 2, 2, 3), np.uint8), 0)
+        b._thread.join(timeout=10)
+        assert not b._thread.is_alive()
+        with pytest.raises(RuntimeError, match="stopped"):
+            b.submit(np.zeros((1, 2, 2, 3), np.uint8), 0)
 
     def test_release_pending_preserves_stop_sentinel(self):
         """A submit racing stop() drains the queue while the worker is

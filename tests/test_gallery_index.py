@@ -139,6 +139,32 @@ class TestPersistence:
         np.testing.assert_array_equal(i1, i2)
         np.testing.assert_allclose(v1, v2)
 
+    def test_user_meta_cannot_shadow_structural_fields(self, data,
+                                                       tmp_path):
+        """User meta keys named like the artifact's structural fields
+        (version/dim/store_dtype) must not override them at load."""
+        q, g, c = data
+        idx = GalleryIndex(32, meta={"store_dtype": "zzz", "dim": 999,
+                                     "note": "kept"})
+        idx.add(g, c)
+        f = tmp_path / "g.npz"
+        idx.save(f, store_dtype="int8")
+        idx2 = GalleryIndex.load(f)
+        assert idx2.dim == 32                      # structural value won
+        assert idx2.meta["note"] == "kept"         # user meta preserved
+        v1, i1, _ = idx.query(q, k=5, matmul_dtype="int8")
+        v2, i2, _ = idx2.query(q, k=5, matmul_dtype="int8")
+        np.testing.assert_array_equal(i1, i2)
+
+    def test_mesh_rejects_approx_method(self, data):
+        """The sharded path is exact-only; silently running exact under
+        method='approx' would misreport the latency/recall envelope."""
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        mesh = make_mesh(8)
+        with pytest.raises(ValueError, match="exact-only"):
+            idx.query(q, k=5, method="approx", mesh=mesh)
+
     def test_legacy_pickled_artifact_rejected_with_remedy(self, tmp_path):
         """Pre-hardening artifacts pickled their path metadata (dtype=object
         arrays); load() must refuse them with a rebuild hint, not numpy's
