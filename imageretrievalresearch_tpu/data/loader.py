@@ -51,7 +51,7 @@ class TripletLoader:
         RNG keeps the global batch composition identical to a
         single-process run."""
         assert batch_size % max(1, process_count) == 0, (
-            "global batch must divide the process count")
+            "the process count must divide the global batch size")
         self.process_index = process_index
         self.process_count = max(1, process_count)
         self.dataset = dataset
@@ -61,8 +61,22 @@ class TripletLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self.host_size = host_size
-        self.prefetch = prefetch
+        # queue.Queue(maxsize=0) means UNBOUNDED — the opposite of the
+        # bounded readahead this parameter promises
+        self.prefetch = max(1, prefetch)
         self.epoch = 0
+        # probe once whether __getitem__ accepts the deterministic
+        # per-(epoch, idx) rng; a per-fetch `except TypeError` would also
+        # swallow genuine TypeErrors raised INSIDE an rng-accepting
+        # dataset and retry them nondeterministically without the rng
+        import inspect
+        try:
+            params = inspect.signature(dataset.__getitem__).parameters
+            self._pass_rng = "rng" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in params.values())
+        except (TypeError, ValueError):
+            self._pass_rng = False
         # native C++ batch decode path: needs a TripletIndex dataset, a fixed
         # host_size, no per-sample python transforms, and the built .so
         self.use_native = False
@@ -96,9 +110,9 @@ class TripletLoader:
         ss = np.random.SeedSequence(entropy=self.seed,
                                     spawn_key=(self.epoch, idx))
         rng = np.random.default_rng(ss)
-        try:
+        if self._pass_rng:
             item = self.dataset.__getitem__(idx, rng=rng)
-        except TypeError:
+        else:
             item = self.dataset[idx]
         if "P" in item:  # TripleDataset dict -> canonical triplet dict
             item = {"qry": item["P"], "pos": [item["S"]], "neg": [item["N"]],

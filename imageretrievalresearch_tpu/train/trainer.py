@@ -73,8 +73,13 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, backbone: Backbone,
                  train_loader, val_loader=None,
                  logger: MetricLogger | None = None,
-                 mesh=None, transform=None,
+                 mesh=None, transform=None, eval_transform=None,
                  metric_transforms: dict | None = None):
+        """``transform``/``eval_transform``: custom fused batch transforms
+        (raw loader batch, PRNG key) -> float batch. A custom ``transform``
+        is reused for evaluation unless ``eval_transform`` is given — pass
+        a deterministic one when the train transform is stochastic
+        (evaluation invokes it with key=None)."""
         self.cfg = cfg
         # post-hoc transforms applied to each per-batch validation metric
         # before epoch-averaging/logging — the reference's find_lr flow logs
@@ -88,22 +93,38 @@ class Trainer:
         # multi-process runs: only process 0 writes logs/checkpoints
         self._is_main = jax.process_index() == 0
         self.logger = logger or MetricLogger(
-            cfg.checkpoint_dir, log_every_n_steps=cfg.log_every_n_steps)
+            cfg.checkpoint_dir if self._is_main else None,
+            log_every_n_steps=cfg.log_every_n_steps)
         # without a val loader the monitored validation metric (cos_sims by
         # default) never exists — fall back to the train loss so training
         # still persists weights instead of silently discarding them
         monitor, monitor_mode = cfg.monitor, cfg.monitor_mode
         if val_loader is None and not monitor.startswith("train"):
             monitor, monitor_mode = "train_loss", "min"
+        elif (cfg.effective_task == "classification"
+              and monitor == "cos_sims"):
+            # the config default is the triplet metric; the classifier eval
+            # emits val_loss/val_top1/val_top3 only — an absent monitor
+            # would silently persist no checkpoints and never early-stop.
+            # The reference's T5 monitors val_top1, mode max
+            # (train_vit_crossentropy.py:335-336).
+            monitor, monitor_mode = "val_top1", "max"
+            print("[trainer] monitor cos_sims is a triplet metric; "
+                  "classification monitors val_top1 (reference T5)")
+        # the single monitor/mode pair every consumer (checkpoint manager,
+        # early stopping, the fit() save gates) must agree on
+        self._monitor, self._monitor_mode = monitor, monitor_mode
         self._ckpt_monitor = monitor
         self.ckpt = (CheckpointManager(cfg.checkpoint_dir,
                                        monitor=monitor,
                                        mode=monitor_mode,
                                        save_top_k=cfg.save_top_k)
                      if cfg.checkpoint_dir else None)
-        if cfg.checkpoint_dir:
+        if cfg.checkpoint_dir and self._is_main:
             # hyperparameters alongside checkpoints (the reference's
-            # Lightning save_hyperparameters yaml, train/train.py:133)
+            # Lightning save_hyperparameters yaml, train/train.py:133);
+            # main-process-only like every other writer here — N processes
+            # racing 'w' on a shared checkpoint filesystem can interleave
             import dataclasses
             import os
 
@@ -125,7 +146,8 @@ class Trainer:
         # both the transform shape and the step builders; everything else
         # (mesh, checkpointing, logging, early stop) is shared
         classification = cfg.effective_task == "classification"
-        eval_transform = transform
+        if eval_transform is None:
+            eval_transform = transform
         if transform is None:
             spec = (TransformSpec.train_autoaugment(cfg.image_size)
                     if cfg.autoaugment
@@ -139,10 +161,13 @@ class Trainer:
             espec = TransformSpec(**{**spec.__dict__, "autoaugment": False})
             if classification:
                 transform = build_image_transform(spec)
-                eval_transform = build_image_transform(espec)
+                if eval_transform is None:
+                    eval_transform = build_image_transform(espec)
             else:
                 transform = build_triplet_transform(spec, spec, spec)
-                eval_transform = build_triplet_transform(espec, espec, espec)
+                if eval_transform is None:
+                    eval_transform = build_triplet_transform(espec, espec,
+                                                             espec)
         self.transform = transform
         self.eval_transform = eval_transform
 
@@ -297,6 +322,29 @@ class Trainer:
             out[k] = float(np.average(vals, weights=sizes))
         return out
 
+    def _logged_monitor_best(self) -> float | None:
+        """Best monitored value replayed from the run's metrics.jsonl
+        (None when no log exists yet) — seeds EarlyStopping on resume."""
+        import os
+        if not self.cfg.checkpoint_dir:
+            return None
+        path = os.path.join(self.cfg.checkpoint_dir, "metrics.jsonl")
+        if not os.path.exists(path):
+            return None
+        import json
+        vals = []
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue          # torn tail line from a preemption
+                if self._monitor in rec:
+                    vals.append(float(rec[self._monitor]))
+        if not vals:
+            return None
+        return max(vals) if self._monitor_mode == "max" else min(vals)
+
     def fit(self, state: EmbedTrainState | None = None,
             max_epochs: int | None = None, resume: bool = False
             ) -> tuple[EmbedTrainState, dict]:
@@ -314,8 +362,18 @@ class Trainer:
             start_epoch = int(state.step) // steps_per_epoch
             print(f"[trainer] resumed from step {int(state.step)} "
                   f"(epoch {start_epoch})")
-        stopper = EarlyStopping(cfg.monitor, cfg.monitor_mode,
+        stopper = EarlyStopping(self._monitor, self._monitor_mode,
                                 cfg.early_stop_patience)
+        if start_epoch:
+            # a resumed run must not forget its pre-preemption best: a
+            # worse post-resume value would otherwise look like a "new
+            # best", restarting the patience window and training past
+            # where the uninterrupted run would have stopped. The best is
+            # replayed from metrics.jsonl (written by process 0 into the
+            # shared checkpoint dir; every process reads the same file so
+            # the collective stop decision stays identical).
+            stopper.best = self._logged_monitor_best()
+        monitor_warned = False
         history: dict[str, list] = {"epochs": []}
         epochs = max_epochs if max_epochs is not None else cfg.max_epochs
         for epoch in range(start_epoch, epochs):
@@ -332,12 +390,19 @@ class Trainer:
                 epoch_metrics.update(val_metrics)
                 if self._is_main:
                     self.logger.log(val_metrics, int(state.step), force=True)
+                if (val_metrics and not monitor_warned
+                        and self._monitor not in epoch_metrics):
+                    monitor_warned = True
+                    print(f"[trainer] WARNING: monitor "
+                          f"{self._monitor!r} is not among the validation "
+                          f"metrics {sorted(val_metrics)} — no checkpoints "
+                          "will be saved and early stopping is disabled")
                 # orbax coordinates multihost saves itself — every process
                 # must participate or the save barrier deadlocks
-                if self.ckpt and cfg.monitor in epoch_metrics:
+                if self.ckpt and self._monitor in epoch_metrics:
                     self.ckpt.save(int(state.step), jax.device_get(state),
                                    epoch_metrics)
-                if (cfg.monitor in epoch_metrics
+                if (self._monitor in epoch_metrics
                         and stopper.update(epoch_metrics)):
                     history["epochs"].append(epoch_metrics)
                     history["stopped_early"] = epoch
@@ -379,7 +444,9 @@ class Trainer:
             "test_scores": scores,
             "test_scores_mean": mean(scores),
         }
-        if results_path:
+        if results_path and self._is_main:
+            # main-process-only like every other writer: N processes
+            # racing 'wb' on a shared results path can corrupt the pickle
             import os
             import pickle
             os.makedirs(os.path.dirname(results_path) or ".", exist_ok=True)

@@ -222,3 +222,73 @@ class TestTrainerEndToEnd:
         restored = trainer.ckpt.restore(jax.device_get(state))
         ra = jax.tree.leaves(restored.params)[0]
         assert np.isfinite(np.asarray(ra)).all()
+
+
+class TestMonitorSelection:
+    """Checkpoint/early-stop monitor plumbing (trainer.__init__)."""
+
+    def _classifier_pair(self, tmp_path):
+        from imageretrievalresearch_tpu.data.imagefolder import (
+            ImageFolderDataset,
+        )
+        from imageretrievalresearch_tpu.data.synthetic import (
+            make_imagefolder_tree,
+        )
+
+        tree = make_imagefolder_tree(str(tmp_path / "if"), n_classes=2,
+                                     n_images=8, size=32)
+        tr = TripletLoader(ImageFolderDataset(tree, split="train"), 8,
+                           num_workers=2)
+        va = TripletLoader(ImageFolderDataset(tree, split="val"), 8,
+                           num_workers=2, drop_last=False)
+        return tr, va
+
+    def test_classification_remaps_default_triplet_monitor(self, tmp_path):
+        """dataset=imagefolder with the config-default monitor (cos_sims, a
+        triplet metric the classifier eval never emits) must monitor
+        val_top1 instead of silently saving zero checkpoints."""
+        tr, va = self._classifier_pair(tmp_path)
+        cfg = _tiny_cfg(dataset="imagefolder",
+                        only_feature_embeddings=None,
+                        only_target_labels=True,
+                        checkpoint_dir=str(tmp_path / "ckpt"))
+        assert cfg.monitor == "cos_sims"          # the config default
+        bb = create_model("efficientnet_b0", num_classes=2,
+                          depth_mult=0.1, width_mult=0.5)
+        trainer = Trainer(cfg, bb, tr, va)
+        assert trainer._monitor == "val_top1"
+        assert trainer._monitor_mode == "max"
+
+    def test_explicit_monitor_is_kept(self, tmp_path):
+        tr, va = self._classifier_pair(tmp_path)
+        cfg = _tiny_cfg(dataset="imagefolder",
+                        only_feature_embeddings=None,
+                        only_target_labels=True, monitor="val_loss",
+                        monitor_mode="min")
+        bb = create_model("efficientnet_b0", num_classes=2,
+                          depth_mult=0.1, width_mult=0.5)
+        trainer = Trainer(cfg, bb, tr, va)
+        assert trainer._monitor == "val_loss"
+
+    def test_resume_seeds_early_stop_best_from_metrics_log(self, tmp_path):
+        """A resumed run must remember its pre-preemption best monitored
+        value, or a worse post-resume epoch restarts the patience window."""
+        import json
+        import os
+
+        root = make_sketchy_tree(str(tmp_path / "sk"), n_cats=2, n_prods=1,
+                                 n_photos=4, n_sketches=2, size=32)
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(ckpt, exist_ok=True)
+        with open(os.path.join(ckpt, "metrics.jsonl"), "w") as f:
+            for v in (0.4, 0.9, 0.6):
+                f.write(json.dumps({"cos_sims": v, "step": 1}) + "\n")
+            f.write("{torn line")        # preemption can tear the tail
+        cfg = _tiny_cfg(checkpoint_dir=ckpt)
+        ds = SketchyImageDataset(data_dir=root)
+        tr = TripletLoader(ds, cfg.batch_size, num_workers=2)
+        va = TripletLoader(ds, cfg.batch_size, num_workers=2, seed=1)
+        bb = create_model("efficientnet_b0", num_classes=2,
+                          depth_mult=0.1, width_mult=0.5)
+        trainer = Trainer(cfg, bb, tr, va)
+        assert trainer._logged_monitor_best() == pytest.approx(0.9)
