@@ -32,17 +32,20 @@ def cosine_similarity(x1: jax.Array, x2: jax.Array, *, axis: int = -1,
                       eps: float = COSINE_SIM_EPS) -> jax.Array:
     """Cosine similarity with torch.nn.CosineSimilarity semantics.
 
-    torch computes ``dot(x1, x2) / max(||x1||_2 * ||x2||_2, eps)`` per row;
-    the reference instantiates it as ``CosineSimilarity(dim=1, eps=1e-6)``
-    (train/train.py:73) for both the in-batch metric loop and the gallery
-    ranking (inference/training_analysis.ipynb cell 2).
+    torch >= 1.12 (the reference's pin) clamps EACH norm at eps before
+    dividing — ``dot / (max(||x1||, eps) * max(||x2||, eps))`` (pytorch
+    PR 74469; verified against the installed torch: cos(1e-8-norm vs
+    unit) = 0.01, not 1.0). The reference instantiates it as
+    ``CosineSimilarity(dim=1, eps=1e-6)`` (train/train.py:73) for both the
+    in-batch metric loop and the gallery ranking
+    (inference/training_analysis.ipynb cell 2).
     """
     x1 = x1.astype(jnp.float32)
     x2 = x2.astype(jnp.float32)
     dot = jnp.sum(x1 * x2, axis=axis)
-    n1 = jnp.linalg.norm(x1, axis=axis)
-    n2 = jnp.linalg.norm(x2, axis=axis)
-    return dot / jnp.maximum(n1 * n2, eps)
+    n1 = jnp.maximum(jnp.linalg.norm(x1, axis=axis), eps)
+    n2 = jnp.maximum(jnp.linalg.norm(x2, axis=axis), eps)
+    return dot / (n1 * n2)
 
 
 def cosine_embedding_loss(x1: jax.Array, x2: jax.Array, target: jax.Array | float,

@@ -30,9 +30,10 @@ from imageretrievalresearch_tpu.losses import COSINE_SIM_EPS
 
 
 def l2_normalize(x: jax.Array, *, eps: float = COSINE_SIM_EPS) -> jax.Array:
-    """Row-normalize so that q̂·ĝ == torch cosine sim (norms clamped at √eps
-    each, which composes to the reference's max(|q||g|, eps) denominator for
-    the non-degenerate case)."""
+    """Row-normalize so that q̂·ĝ == torch cosine sim: each norm clamped at
+    eps, exactly torch >= 1.12's per-norm clamping
+    (``dot / (max(|q|, eps) * max(|g|, eps))``, pytorch PR 74469 — the
+    semantics ``losses.cosine_similarity`` transcribes)."""
     x = x.astype(jnp.float32)
     n = jnp.linalg.norm(x, axis=-1, keepdims=True)
     return x / jnp.maximum(n, eps)
@@ -573,6 +574,12 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
     _check_prepared(gallery, matmul_dtype, gallery_scale)
     if use_pallas and gallery.dtype != jnp.float32:
         raise ValueError("use_pallas scores need a raw f32 gallery")
+    if use_pallas and matmul_dtype != "float32":
+        # the pallas_cosine_scores path always scores in f32; silently
+        # returning f32 rankings labeled bf16/int8 would corrupt any
+        # serving-mode comparison made through this flag
+        raise ValueError("use_pallas scores are f32-only; drop use_pallas "
+                         f"or matmul_dtype={matmul_dtype!r}")
     q, d = queries.shape
     g = gallery.shape[0]
     k = min(k, g)

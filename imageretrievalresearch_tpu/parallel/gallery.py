@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from imageretrievalresearch_tpu.ops.retrieval import (
+    _check_prepared,
     _fused_eligible,
     chunked_topk,
     dense_scores,
@@ -24,41 +25,16 @@ from imageretrievalresearch_tpu.ops.retrieval import (
 )
 
 
-def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
-                        mesh: Mesh, *, axis_name: str = "data",
-                        use_fused: bool | None = None,
-                        matmul_dtype: str = "float32",
-                        gallery_scale: jax.Array | None = None,
-                        interpret: bool = False
-                        ) -> tuple[jax.Array, jax.Array]:
-    """(Q, D) × (G, D) -> global (vals, inds) with the gallery sharded on
-    ``axis_name``. Gallery rows must divide the mesh (pad upstream).
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis_name", "k", "k_local", "shard",
+                              "fused", "matmul_dtype", "interpret"))
+def _sharded_topk_impl(queries, gallery, *scale, mesh, axis_name, k, k_local,
+                       shard, fused, matmul_dtype, interpret):
+    """One compiled program: shard_map ranking + the candidate merge.
 
-    On TPU, each device ranks its shard with the fused Pallas streaming
-    kernel (normalize + matmul + exact in-VMEM top-k, certificate +
-    per-shard lax.cond dense fallback); other backends use the dense
-    blocked path. ``use_fused`` overrides the auto choice;
-    ``matmul_dtype`` selects the bf16/int8 serving arithmetic per shard
-    (see :func:`ops.retrieval.cosine_topk`). The gallery may be
-    PRE-PREPARED in its compact serving form (bf16 normalized, or int8
-    codes + row-sharded ``gallery_scale`` (G, 1)) so each device only ever
-    holds its compact shard — pair with
-    :func:`parallel.mesh.put_row_sharded`.
-    """
-    n_dev = mesh.shape[axis_name]
-    g = gallery.shape[0]
-    assert g % n_dev == 0, "pad gallery to a multiple of the mesh size"
-    shard = g // n_dev
-    # k is clamped to the gallery size (not silently to the shard size:
-    # local candidates are min(k, shard) per device, which still covers the
-    # exact global top-k because each device contributes its full shard
-    # ranking prefix — k > shard just means every shard row is a candidate)
-    k = min(k, g)
-    k_local = min(k, shard)
-    q, d = queries.shape
-    fused = use_fused if use_fused is not None else (
-        (jax.default_backend() == "tpu" or interpret)
-        and _fused_eligible(q, shard, d, k_local, 512, 6))
+    Jitted as a whole because this IS the serving dispatch path — eager
+    execution would pay a ~28 ms dispatch RTT for the shard_map call plus
+    each of the four merge ops on a remote transport (CLAUDE.md)."""
 
     def local_rank(q_hat, g_local, gs_local):
         # g_local: (shard, D) on each device; score arithmetic shared with
@@ -67,12 +43,37 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
             vals, inds, ok = fused_cosine_topk_pallas(
                 q_hat, g_local, k_local, matmul_dtype=matmul_dtype,
                 gallery_scale=gs_local, interpret=interpret)
-            vals, inds = jax.lax.cond(
-                jnp.all(ok == 1),
-                lambda _: (vals, inds),
-                lambda _: tuple(chunked_topk(
+            # bounded certificate repair, mirroring cosine_topk: row
+            # failures are rare but DETERMINISTIC per dataset — a whole-
+            # shard dense fallback would re-pay the full (Q, shard) matmul
+            # on EVERY call for one bad row (the ~3.7x cliff measured in
+            # PERF.md); instead re-rank up to RETRY failing rows densely
+            # and scatter them back, full fallback only beyond that
+            q_rows = q_hat.shape[0]
+            RETRY = min(64, q_rows)
+            bad = (ok == 0).astype(jnp.int32)
+            n_bad = jnp.sum(bad)
+
+            def repair(_):
+                _, rows = jax.lax.top_k(bad, RETRY)
+                sub = q_hat[rows]
+                sims = dense_scores(sub, g_local, matmul_dtype, gs_local)
+                rvals, rinds = chunked_topk(sims, k_local)
+                keep = (jnp.arange(RETRY) < n_bad)[:, None]
+                return (vals.at[rows].set(
+                            jnp.where(keep, rvals, vals[rows])),
+                        inds.at[rows].set(
+                            jnp.where(keep, rinds, inds[rows])))
+
+            def full(_):
+                return tuple(chunked_topk(
                     dense_scores(q_hat, g_local, matmul_dtype, gs_local),
-                    k_local)),
+                    k_local))
+
+            vals, inds = jax.lax.cond(
+                n_bad == 0,
+                lambda _: (vals, inds),
+                lambda _: jax.lax.cond(n_bad <= RETRY, repair, full, _),
                 None)
         else:
             vals, inds = chunked_topk(
@@ -82,8 +83,7 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
         offset = jax.lax.axis_index(axis_name) * shard
         return vals, inds + offset
 
-    has_scale = gallery_scale is not None
-    scale_spec = (P(axis_name, None),) if has_scale else ()
+    scale_spec = (P(axis_name, None),) if scale else ()
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -97,11 +97,62 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
         return vals[None], inds[None]     # leading device axis for gather
 
     q_hat = l2_normalize(queries)
-    args = (gallery, gallery_scale) if has_scale else (gallery,)
-    vals, inds = ranked(q_hat, *args)     # (n_dev, Q, k_local) each
+    vals, inds = ranked(q_hat, gallery, *scale)   # (n_dev, Q, k_local) each
     # merge: concatenate device candidates, re-top-k (tiny: n_dev*k per query)
     vals = jnp.swapaxes(vals, 0, 1).reshape(queries.shape[0], -1)
     inds = jnp.swapaxes(inds, 0, 1).reshape(queries.shape[0], -1)
     mvals, mpos = jax.lax.top_k(vals, min(k, vals.shape[1]))
     minds = jnp.take_along_axis(inds, mpos, axis=1)
     return mvals, minds
+
+
+def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
+                        mesh: Mesh, *, axis_name: str = "data",
+                        use_fused: bool | None = None,
+                        matmul_dtype: str = "float32",
+                        gallery_scale: jax.Array | None = None,
+                        interpret: bool = False
+                        ) -> tuple[jax.Array, jax.Array]:
+    """(Q, D) × (G, D) -> global (vals, inds) with the gallery sharded on
+    ``axis_name``. Gallery rows must divide the mesh (pad upstream).
+
+    On TPU meshes, each device ranks its shard with the fused Pallas
+    streaming kernel (normalize + matmul + exact in-VMEM top-k, certificate
+    + bounded per-row dense repair); other backends use the dense blocked
+    path. ``use_fused`` overrides the auto choice; ``matmul_dtype``
+    selects the bf16/int8 serving arithmetic per shard (see
+    :func:`ops.retrieval.cosine_topk`). The gallery may be PRE-PREPARED in
+    its compact serving form (bf16 normalized, or int8 codes +
+    row-sharded ``gallery_scale`` (G, 1)) so each device only ever holds
+    its compact shard — pair with :func:`parallel.mesh.put_row_sharded`.
+    """
+    # same mode/dtype agreement the single-device path enforces: a
+    # prepared (bf16/int8) gallery must not silently score with
+    # mismatched arithmetic on the dense route
+    _check_prepared(gallery, matmul_dtype, gallery_scale)
+    n_dev = mesh.shape[axis_name]
+    g = gallery.shape[0]
+    assert g % n_dev == 0, "pad gallery to a multiple of the mesh size"
+    shard = g // n_dev
+    # k is clamped to the gallery size (not silently to the shard size:
+    # local candidates are min(k, shard) per device, which still covers the
+    # exact global top-k because each device contributes its full shard
+    # ranking prefix — k > shard just means every shard row is a candidate)
+    k = min(k, g)
+    k_local = min(k, shard)
+    q, d = queries.shape
+    # route on the MESH devices' platform, not jax.default_backend(): this
+    # sandbox's sitecustomize makes the default backend a remote TPU even
+    # in processes that build a virtual CPU mesh (and vice versa a CPU
+    # default must not suppress the kernel on a real TPU mesh)
+    platform = mesh.devices.flat[0].platform
+    fused = use_fused if use_fused is not None else (
+        (platform == "tpu" or interpret)
+        and _fused_eligible(q, shard, d, k_local, 512, 6))
+    args = (gallery,) + ((gallery_scale,)
+                         if gallery_scale is not None else ())
+    return _sharded_topk_impl(queries, *args, mesh=mesh,
+                              axis_name=axis_name, k=k, k_local=k_local,
+                              shard=shard, fused=fused,
+                              matmul_dtype=matmul_dtype,
+                              interpret=interpret)
