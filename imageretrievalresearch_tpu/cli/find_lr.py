@@ -32,21 +32,27 @@ def run(args: argparse.Namespace) -> dict:
     import functools
     import os
 
-    import jax
-
     from imageretrievalresearch_tpu.cli.train import (
+        build_config,
         build_dataset,
         build_loader,
+        init_distributed,
     )
-    from imageretrievalresearch_tpu.config import TrainConfig
+
+    # same multi-host bring-up and --recipe handling as the train CLI
+    # (this parser inherits both flag groups; silently ignoring them
+    # would run a different loss/monitor than the named recipe, or N
+    # duplicated single-process runs instead of a sharded one)
+    init_distributed(args)
+
+    import jax
+
     from imageretrievalresearch_tpu.models import create_model
     from imageretrievalresearch_tpu.train import Trainer, make_optimizer
     from imageretrievalresearch_tpu.train.lr_finder import lr_find
     from imageretrievalresearch_tpu.utils.analysis import find_lr_cos_sim_score
 
-    cfg_fields = {f for f in TrainConfig.__dataclass_fields__}
-    cfg = TrainConfig(**{k: v for k, v in vars(args).items()
-                         if k in cfg_fields})
+    cfg = build_config(args, vars(build_parser().parse_args([])))
 
     # the shared train-CLI builders handle every --dataset family, so the
     # sweep runs the same loader/task (triplet or CE-classifier) the real
@@ -70,11 +76,16 @@ def run(args: argparse.Namespace) -> dict:
 
     def sweep_step(state, batch, key):
         tkey, skey = jax.random.split(key)
-        return trainer._train_step(state, batch, tkey, skey)
+        return trainer._train_step(state, trainer._prepare(batch), tkey,
+                                   skey)
 
     def batches():
-        for batch in loader:
-            yield trainer._prepare(batch)
+        # yield RAW host batches: lr_find retains every batch in its
+        # wrap-around replay list, and device-prepared batches would pin
+        # up to num_lr_steps full triplet batches in HBM for the whole
+        # sweep (~2.9 GB at bs64x224; OOM at bs256). _prepare runs per
+        # step inside sweep_step, exactly like Trainer.train_epoch.
+        yield from loader
 
     out = lr_find(make_state, sweep_step, batches(), jax.random.key(0),
                   min_lr=args.min_lr, max_lr=args.max_lr,
@@ -85,7 +96,12 @@ def run(args: argparse.Namespace) -> dict:
         save_name = (f"{cfg.model_name}_{cfg.optimizer_name}_"
                      f"{cfg.learning_rate:.6g}")
         cfg.checkpoint_dir = os.path.join(cfg.save_path, save_name)
-        trainer2 = Trainer(cfg, backbone, loader, val_loader,
+        from imageretrievalresearch_tpu.utils.logging import MetricLogger
+        logger = MetricLogger(
+            cfg.checkpoint_dir if jax.process_index() == 0 else None,
+            use_wandb=cfg.wandb, run_name=save_name,
+            log_every_n_steps=cfg.log_every_n_steps)
+        trainer2 = Trainer(cfg, backbone, loader, val_loader, logger=logger,
                            metric_transforms={"cos_sims": booster})
         state, _ = trainer2.fit()
         test_ds = build_dataset(cfg, args, "test")

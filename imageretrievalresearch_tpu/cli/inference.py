@@ -12,6 +12,8 @@ import argparse
 
 import yaml
 
+from imageretrievalresearch_tpu.cli.train import _bool_or_none
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Inference Arguments")
@@ -23,7 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-is", "--input_size", type=int, default=224)
     p.add_argument("-bs", "--batch_size", type=int, default=256)
     p.add_argument("-d", "--device", type=str, default="tpu")
-    p.add_argument("-c", "--cache", type=lambda v: v not in ("False", "0"),
+    p.add_argument("-c", "--cache",
+                   type=lambda v: bool(_bool_or_none(v)),
                    default=True, help="Preload/decode-cache images")
     p.add_argument("--conv_input", action="store_true",
                    help="prepend the 3x3 conv + SiLU stem "
@@ -65,26 +68,16 @@ def build_eval_transform(kind: str, input_size: int):
     - 'plain': resize + /255 (embedding inputs as trained by this
       framework's default recipes, which do not normalize).
     """
-    import jax
-    import jax.numpy as jnp
+    from imageretrievalresearch_tpu.ops.preprocess import (
+        TransformSpec,
+        build_batch_transform,
+    )
 
     if kind == "squarepad":
-        from imageretrievalresearch_tpu.ops.preprocess import (
-            TransformSpec,
-            build_batch_transform,
-        )
         return build_batch_transform(TransformSpec.eval_squarepad(input_size))
-    size = (input_size, input_size)
-
-    @jax.jit
-    def plain(x):
-        x = x.astype(jnp.float32)
-        if x.shape[1:3] != size:
-            x = jax.image.resize(x, (x.shape[0],) + size + (x.shape[3],),
-                                 method="bilinear", antialias=True)
-        return x / 255.0
-
-    return plain
+    # 'plain' IS the trainer's plain pipeline — built from the same spec so
+    # eval arithmetic can never drift from how 'plain' models were trained
+    return build_batch_transform(TransformSpec.train_plain(input_size))
 
 
 def run(args: argparse.Namespace) -> None:
@@ -114,7 +107,11 @@ def run(args: argparse.Namespace) -> None:
     host_size = args.host_size
     if host_size is None and args.transform == "plain":
         host_size = args.input_size
-    dl = TripletLoader(ds, args.batch_size, shuffle=True, drop_last=True,
+    # evaluation covers EVERY item exactly once: shuffle is pointless for
+    # gallery-level metrics, and drop_last=True silently excluded up to
+    # batch_size-1 items from the metrics and --save_gallery (a test set
+    # smaller than the batch size evaluated nothing at all)
+    dl = TripletLoader(ds, args.batch_size, shuffle=False, drop_last=False,
                        num_workers=8, host_size=host_size)
 
     backbone = create_model(args.model_name, num_classes=num_classes,
@@ -126,7 +123,8 @@ def run(args: argparse.Namespace) -> None:
                              transform=build_eval_transform(
                                  args.transform, args.input_size))
 
-    keep = args.viz_dir is not None
+    keep = (args.viz_dir is not None
+            and args.topk_variant == "class_dedup")
     embeds = engine.embed_triplet_loader(dl, keep_images=keep)
     if args.save_gallery:
         from imageretrievalresearch_tpu.retrieval import GalleryIndex
@@ -151,9 +149,16 @@ def run(args: argparse.Namespace) -> None:
     print(f"Test top3: {results['top3']:.3f}")
     print(f"Test cos sim scores: {results['scores']:.3f}")
     if args.viz_dir:
-        idx_to_clss = {v: k for k, v in ds.cat_idx.items()}
-        paths = retrieval_grid(results, idx_to_clss, args.viz_dir)
-        print(f"Wrote {len(paths)} visualization grids to {args.viz_dir}")
+        if args.topk_variant != "class_dedup":
+            # retrieval_grid consumes the class-dedup result keys
+            # (ims/topk_inds/...); the index-match results don't carry them
+            print("--viz_dir requires --topk_variant class_dedup; "
+                  "skipping visualization")
+        else:
+            idx_to_clss = {v: k for k, v in ds.cat_idx.items()}
+            paths = retrieval_grid(results, idx_to_clss, args.viz_dir)
+            print(f"Wrote {len(paths)} visualization grids to "
+                  f"{args.viz_dir}")
 
 
 def main() -> None:

@@ -111,6 +111,22 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# one shared TripleDataset decode cache per (tree, cache_size), replaced
+# when the key changes so one stale tree's decoded images never accumulate
+# across runs in the same process (previously smuggled through the argparse
+# Namespace — hidden mutable state on a value object)
+_TRIPLE_CACHE: dict = {"key": None, "store": None}
+
+
+def _shared_triple_store(ims_path: str, cache_size) -> dict:
+    import os as _os
+    key = (_os.path.abspath(ims_path), cache_size)
+    if _TRIPLE_CACHE["key"] != key:
+        _TRIPLE_CACHE["key"] = key
+        _TRIPLE_CACHE["store"] = {}
+    return _TRIPLE_CACHE["store"]
+
+
 def build_dataset(cfg, args, split: str):
     """One dataset for ``split`` ("train"/"val"/"test") per the configured
     ``cfg.dataset`` family — shared by the train and find_lr CLIs so every
@@ -149,8 +165,8 @@ def build_dataset(cfg, args, split: str):
             # TripleDataset's sketch universe is split-independent (pos/neg
             # drawn by class): share ONE decode cache across the CLI's
             # train/val instances so the tree is decoded + held once
-            cache_kw["cache_store"] = vars(args).setdefault(
-                "_triple_cache_store", {})
+            cache_kw["cache_store"] = _shared_triple_store(
+                cfg.ims_path, cache_kw["cache_size"])
         return TripleDataset(
             photo_root=os.path.join(cfg.ims_path, "photo"),
             sketch_root=os.path.join(cfg.ims_path, "sketch"),
@@ -202,27 +218,48 @@ def build_loader(cfg, args, ds, kind: str = "train"):
                          process_count=jax.process_count(), **conv)
 
 
+def init_distributed(args: argparse.Namespace) -> None:
+    """multi-host DP bring-up from the shared CLI flags — must run before
+    any jax backend use (SURVEY.md §2 "host data loading sharded
+    per-process"); with all three flags None on a TPU pod jax auto-detects
+    from the metadata server. Shared by the train and find_lr CLIs."""
+    if not (args.coordinator_address or args.num_processes
+            or args.process_id is not None):
+        return
+    import jax
+
+    kw = {}
+    if args.coordinator_address:
+        kw["coordinator_address"] = args.coordinator_address
+    if args.num_processes and args.num_processes > 0:
+        kw["num_processes"] = args.num_processes
+    if args.process_id is not None:
+        kw["process_id"] = args.process_id
+    jax.distributed.initialize(**kw)
+    print(f"[distributed] process {jax.process_index()} of "
+          f"{jax.process_count()}, {len(jax.local_devices())} local / "
+          f"{len(jax.devices())} global devices")
+
+
+def build_config(args: argparse.Namespace, parser_defaults: dict):
+    """TrainConfig from CLI args, honoring ``--recipe`` presets: explicit
+    CLI values override the preset; untouched argparse defaults do not.
+    Shared by the train and find_lr CLIs."""
+    from imageretrievalresearch_tpu.config import TrainConfig
+
+    cfg_fields = {f for f in TrainConfig.__dataclass_fields__}
+    overrides = {k: v for k, v in vars(args).items() if k in cfg_fields}
+    if getattr(args, "recipe", None):
+        from imageretrievalresearch_tpu.recipes import make_config
+        explicit = {k: v for k, v in overrides.items()
+                    if parser_defaults.get(k) != v}
+        return make_config(args.recipe, **explicit)
+    return TrainConfig(**overrides)
+
+
 def run(args: argparse.Namespace) -> None:
     # heavy imports deferred so --help is instant
-    if (args.coordinator_address or args.num_processes
-            or args.process_id is not None):
-        # multi-host DP: must run before any jax backend use (SURVEY.md §2
-        # "host data loading sharded per-process"); with all three None on
-        # a TPU pod jax auto-detects from the metadata server
-        import jax
-
-        kw = {}
-        if args.coordinator_address:
-            kw["coordinator_address"] = args.coordinator_address
-        if args.num_processes and args.num_processes > 0:
-            kw["num_processes"] = args.num_processes
-        if args.process_id is not None:
-            kw["process_id"] = args.process_id
-        jax.distributed.initialize(**kw)
-        print(f"[distributed] process {jax.process_index()} of "
-              f"{jax.process_count()}, {len(jax.local_devices())} local / "
-              f"{len(jax.devices())} global devices")
-    from imageretrievalresearch_tpu.config import TrainConfig
+    init_distributed(args)
     from imageretrievalresearch_tpu.models import create_model
     from imageretrievalresearch_tpu.train import Trainer
     from imageretrievalresearch_tpu.utils.logging import MetricLogger
@@ -231,17 +268,7 @@ def run(args: argparse.Namespace) -> None:
     argstr = yaml.dump(vars(args), default_flow_style=False)
     print(f"\nTraining Arguments:\n{argstr}")
 
-    cfg_fields = {f for f in TrainConfig.__dataclass_fields__}
-    overrides = {k: v for k, v in vars(args).items() if k in cfg_fields}
-    if args.recipe:
-        from imageretrievalresearch_tpu.recipes import make_config
-        # explicit CLI values override the preset; argparse defaults do not
-        defaults = vars(build_parser().parse_args([]))
-        explicit = {k: v for k, v in overrides.items()
-                    if defaults.get(k) != v}
-        cfg = make_config(args.recipe, **explicit)
-    else:
-        cfg = TrainConfig(**overrides)
+    cfg = build_config(args, vars(build_parser().parse_args([])))
     tr_ds = build_dataset(cfg, args, "train")
     val_ds = build_dataset(cfg, args, "val")
     num_classes = tr_ds.get_cat_length()
@@ -258,9 +285,13 @@ def run(args: argparse.Namespace) -> None:
     cfg.checkpoint_dir = os.path.join(cfg.save_path, save_name)
     backbone = create_model(cfg.model_name, num_classes=num_classes,
                             dtype=cfg.compute_dtype)
-    logger = MetricLogger(cfg.checkpoint_dir, use_wandb=cfg.wandb,
-                          run_name=save_name,
-                          log_every_n_steps=cfg.log_every_n_steps)
+    import jax
+    logger = MetricLogger(
+        # only process 0 owns the jsonl file (N processes opening 'a' on a
+        # shared filesystem is pointless churn; log() is main-gated anyway)
+        cfg.checkpoint_dir if jax.process_index() == 0 else None,
+        use_wandb=cfg.wandb, run_name=save_name,
+        log_every_n_steps=cfg.log_every_n_steps)
     trainer = Trainer(cfg, backbone, train_loader, val_loader, logger=logger)
     trainer.fit()
 
