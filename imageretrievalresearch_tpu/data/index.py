@@ -163,6 +163,11 @@ def build_triplet_index(
     pos_keys: list[str] = []
     neg_keys: list[str] = []
 
+    # the reference's final query list is `list(pos_neg_dic.keys())`
+    # (sketch_dataset.py:197, original_dataset.py:233, softdataset.py:127):
+    # dict keys DEDUPE queries in first-seen order — a sketch_qry split
+    # whose json already contains sketches must not double-count them
+    image_lst = list(dict.fromkeys(image_lst))
     for qry in image_lst:
         cat, prod = classify(qry)
         if pos_policy == "cat":

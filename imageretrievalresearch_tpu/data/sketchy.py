@@ -68,6 +68,13 @@ class SketchyDataset:
             os.path.join(self.data_dir, "sketch/tx_000000000000/*/*"))
         image_lst = sorted(i for i in image_lst if os.path.isfile(i))
         sketch_lst = sorted(i for i in sketch_lst if os.path.isfile(i))
+        # label enumeration and the cat/prod -> sketch dicts walk
+        # sketches + PRE-append photos: the reference builds cat_dic/
+        # prod_dic BEFORE the sketch_qry append (sketch_dataset.py:146-158),
+        # so each sketch contributes to its candidate lists exactly once —
+        # walking the post-append list would duplicate every sketch in the
+        # positive lists and break without-replacement sampling
+        label_walk = sketch_lst + image_lst
         if sketch_qry:
             # sketches become queries too (sketch_dataset.py:157-158)
             image_lst = image_lst + sketch_lst
@@ -75,7 +82,7 @@ class SketchyDataset:
         self.index = build_triplet_index(
             image_lst, sketch_lst, self._classify_full,
             pos_policy=pos_policy, neg_policy=neg_policy,
-            label_walk=sketch_lst + image_lst)
+            label_walk=label_walk)
         self.cat_idx = self.index.cat_idx
         self.prod_idx = self.index.prod_idx
         self.sketch_lst = self.index.sketch_lst
@@ -83,7 +90,8 @@ class SketchyDataset:
 
     # --- path parsing (sketch_dataset.py:227-232) ---
     def get_basepath(self, path: str) -> str:
-        return path.replace(os.path.join(self.data_dir, ""), "")
+        from imageretrievalresearch_tpu.data.splits import strip_root
+        return strip_root(path, self.data_dir)
 
     def classify(self, path: str) -> tuple[str, str]:
         basename = os.path.basename(path)
@@ -135,6 +143,15 @@ class SketchyImageDataset(DecodeCacheMixin, SketchyDataset):
                  pos_return_num: int = 1, neg_return_num: int = 1,
                  load_images: bool = False, cache_size: int | None = None,
                  seed: int = 0, **kwargs):
+        if not kwargs.get("random", True):
+            # fail at construction: the materialized-json (random=False)
+            # image mode is unsupported here, and the eager decode cache
+            # below would otherwise spend minutes before __getitem__'s
+            # index assert fired
+            raise ValueError(
+                "SketchyImageDataset requires random=True indexing; the "
+                "materialized data_json mode is path-level only "
+                "(SketchyDataset)")
         super().__init__(**kwargs)
         self.transform_dic = transform_dic
         self.pos_return_num, self.neg_return_num = pos_return_num, neg_return_num

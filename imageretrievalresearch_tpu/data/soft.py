@@ -71,7 +71,8 @@ class TripletDataset:
         self.image_lst = self.index.image_lst
 
     def get_basepath(self, path: str) -> str:
-        return path.replace(os.path.join(self.data_dir, ""), "")
+        from imageretrievalresearch_tpu.data.splits import strip_root
+        return strip_root(path, self.data_dir)
 
     def classify(self, path: str) -> tuple[str, str, str]:
         split = path.split("/")

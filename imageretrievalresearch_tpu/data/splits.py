@@ -37,6 +37,16 @@ import numpy as np
 IMG_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
 
 
+def strip_root(path: str, data_dir: str) -> str:
+    """Remove the leading ``data_dir/`` prefix — and only the LEADING one.
+
+    ``str.replace`` (the reference's idiom, sketch_dataset.py:227) removes
+    every occurrence, mis-parsing cat/prod when the root name recurs inside
+    the path (e.g. a product directory named like the data dir)."""
+    prefix = os.path.join(data_dir, "")
+    return path[len(prefix):] if path.startswith(prefix) else path
+
+
 def seeded_holdout(items: list, split: str, *, val_fraction: float = 0.2,
                    seed: int = 42) -> list:
     """Seeded train/val permutation holdout, original order preserved.
@@ -86,6 +96,9 @@ def _split_buckets(dic: dict[str, list[str]], split: list[float],
         train_idx, val_idx = int(len(keys) * split[0]), int(len(keys) * split[1])
         train_keys = keys[:train_idx] + train_essential
         val_keys = keys[train_idx:train_idx + val_idx]
+        # 2-way splits drop the int()-rounding leftover keys, exactly like
+        # the reference (sketch_dataset.py:63-65 computes test_keys only
+        # for 3-way splits; the remainder belongs to no split)
         test_keys = keys[train_idx + val_idx:] if len(split) == 3 else []
         for key in train_keys:
             rslt["train"] += dic[key]
@@ -101,9 +114,16 @@ def _split_buckets(dic: dict[str, list[str]], split: list[float],
             val_len = max(int(len(value) * split[1]), 1)
             test_len = max(int(len(value) * split[2]), 1) if len(split) == 3 else 0
             train_len = len(value) - val_len - test_len
-            if val_len > 0 and test_len > 0 and train_len > 0:
+            # a 2-way split has no test slice to gate on (the reference's
+            # soft branch would IndexError on split[2]; intent per SURVEY
+            # §0): split the bucket whenever train AND val get items —
+            # gating on test_len>0 here sent EVERY 2-way bucket to the
+            # replicate-everywhere branch, making train == val == all
+            if (val_len > 0 and train_len > 0
+                    and (len(split) == 2 or test_len > 0)):
                 rslt["val"] += value[:val_len]
-                rslt["test"] += value[val_len:val_len + test_len]
+                if test_len:
+                    rslt["test"] += value[val_len:val_len + test_len]
                 rslt["train"] += value[val_len + test_len:]
             else:
                 # bucket too small to split: replicate everywhere
@@ -170,15 +190,31 @@ def data_split_original(data_dir: str, out_path: str, policy: str = "prod",
     lst = sorted(i for i in lst if os.path.isfile(i))
     rng.shuffle(lst)
 
+    if policy not in ("cat", "prod"):
+        raise ValueError("policy must be one of [cat, prod]")
     dic: dict[str, list[str]] = {}
+    skipped = 0
     for i in lst:
-        path = i.replace(os.path.join(data_dir, ""), "")
-        split_path = path.split("/")
-        cat, prod = split_path[0], split_path[1].split("_")[-2]
-        pol = {"cat": cat, "prod": prod}.get(policy)
-        if pol is None:
-            raise ValueError("policy must be one of [cat, prod]")
+        # parse lazily and skip malformed entries: the recursive glob can
+        # pick up stray files (a README at the root, the out_path json from
+        # a previous run) whose paths don't carry the <cat>/<prod_dir>/
+        # structure — one stray must not crash the whole split
+        split_path = strip_root(i, data_dir).split("/")
+        if len(split_path) < 2:
+            skipped += 1
+            continue
+        if policy == "cat":
+            pol = split_path[0]
+        else:
+            toks = split_path[1].split("_")
+            if len(toks) < 2:
+                skipped += 1
+                continue
+            pol = toks[-2]
         dic.setdefault(pol, []).append(i)
+    if skipped:
+        print(f"[data_split_original] skipped {skipped} file(s) not "
+              "matching the <cat>/<prod_dir>/... layout")
 
     rslt = _split_buckets(dic, split, hard_split, train_essential, rng)
     with open(out_path, "w") as f:
@@ -202,16 +238,28 @@ def data_split_soft(data_dir: str, out_path: str, policy: str = "prod",
     lst = sorted(i for i in lst if os.path.isfile(i))
     rng.shuffle(lst)
 
+    if policy not in ("cat", "prod"):
+        raise ValueError("policy must be one of [cat, prod]")
     dic: dict[str, list[str]] = {}
+    skipped = 0
     for i in lst:
-        basepath = i.replace(os.path.join(data_dir, ""), "")
+        basepath = strip_root(i, data_dir)
+        parts = basepath.split("/")
         if policy == "cat":
-            pol = basepath.split("/")[1]
-        elif policy == "prod":
-            pol = os.path.dirname(basepath).split("_")[1]
+            if len(parts) < 2:        # stray file directly under real/
+                skipped += 1
+                continue
+            pol = parts[1]
         else:
-            raise ValueError("policy must be one of [cat, prod]")
+            toks = os.path.dirname(basepath).split("_")
+            if len(toks) < 2:
+                skipped += 1
+                continue
+            pol = toks[1]
         dic.setdefault(pol, []).append(i)
+    if skipped:
+        print(f"[data_split_soft] skipped {skipped} file(s) not matching "
+              "the real/<cat>/... layout")
 
     rslt: dict[str, list[str]] = {"train": [], "val": []}
     if len(split) == 3:

@@ -13,12 +13,16 @@ Swin triplet recipe (train/train_vit_triplet.py:47-48).
 from __future__ import annotations
 
 import os
-from glob import glob
 
 import numpy as np
 
 from imageretrievalresearch_tpu.data.decode import DecodeCacheMixin
-from imageretrievalresearch_tpu.data.splits import seeded_holdout
+from imageretrievalresearch_tpu.data.splits import IMG_EXTS, seeded_holdout
+
+
+def _is_image(path: str) -> bool:
+    return (os.path.isfile(path)
+            and os.path.splitext(path)[1].lower() in IMG_EXTS)
 
 
 def find_classes(root: str) -> tuple[list[str], dict[str, int]]:
@@ -31,13 +35,17 @@ def find_classes(root: str) -> tuple[list[str], dict[str, int]]:
 
 
 def make_dataset(root: str) -> list[str]:
-    """All files under class dirs (reference data/triplet_dataset.py:16-28)."""
+    """Image files under class dirs (reference data/triplet_dataset.py:16-28;
+    filtered to the shared IMG_EXTS so a stray .DS_Store or nested directory
+    doesn't crash decoding mid-epoch)."""
     images = []
     for cname in sorted(os.listdir(root)):
         c_path = os.path.join(root, cname)
         if os.path.isdir(c_path):
             for fname in sorted(os.listdir(c_path)):
-                images.append(os.path.join(c_path, fname))
+                path = os.path.join(c_path, fname)
+                if _is_image(path):
+                    images.append(path)
     return images
 
 
@@ -73,12 +81,29 @@ class TripleDataset(DecodeCacheMixin):
         self.class_to_idx = class_to_idx
         self.len = len(self.photo_paths)
         self._rng = np.random.default_rng(seed)
-        # precompute per-class sketch lists
+        # precompute per-class sketch lists (image files only)
         self._sketches = {
-            c: sorted(os.listdir(os.path.join(sketch_root, c)))
+            c: sorted(f for f in os.listdir(os.path.join(sketch_root, c))
+                      if _is_image(os.path.join(sketch_root, c, f)))
             for c in os.listdir(sketch_root)
             if os.path.isdir(os.path.join(sketch_root, c))
         }
+        self._sketches = {c: fs for c, fs in self._sketches.items() if fs}
+        self._sketch_classes = sorted(self._sketches)
+        # fail at construction, not mid-epoch deep inside a training step:
+        # every photo class needs same-class positives, and a negative
+        # needs at least one OTHER sketch class to draw from
+        photo_classes = {os.path.basename(os.path.dirname(p))
+                         for p in self.photo_paths}
+        missing = sorted(photo_classes - set(self._sketch_classes))
+        if missing:
+            raise ValueError(
+                f"photo classes with no sketches under {sketch_root}: "
+                f"{missing}")
+        if photo_classes and len(self._sketch_classes) < 2:
+            raise ValueError(
+                "TripleDataset needs >= 2 sketch classes (negatives are "
+                "drawn from a different class than the query)")
         # decode-once RAM cache (same -c / --cache surface as the other
         # dataset families): image_lst/sketch_lst are the path universes
         # the mixin eagerly decodes. The sketch universe is the WHOLE tree
@@ -103,11 +128,15 @@ class TripleDataset(DecodeCacheMixin):
                           rng: np.random.Generator) -> tuple[str, str, int]:
         cname = os.path.basename(os.path.dirname(photo_path))
         label = self.class_to_idx[cname]
-        # random negative class != query class, then random file within it
-        items = sorted(set(self._sketches.keys()) - {cname})
+        # random negative class != query class, then random file within it —
+        # from the precomputed per-class lists (the reference re-lists the
+        # directory per sample, data/triplet_dataset.py:75-79; a per-sample
+        # disk scan on the training hot path buys nothing)
+        items = [c for c in self._sketch_classes if c != cname]
         neg_cls = items[rng.integers(0, len(items))]
-        files = sorted(glob(os.path.join(self.sketch_root, neg_cls, "*")))
-        neg = files[rng.integers(0, len(files))]
+        files = self._sketches[neg_cls]
+        neg = os.path.join(self.sketch_root, neg_cls,
+                           files[rng.integers(0, len(files))])
         # random positive sketch from the same class folder
         sketchs = self._sketches[cname]
         sketch = sketchs[rng.integers(0, len(sketchs))]

@@ -112,6 +112,53 @@ class TestSketchyDataset:
         ext = SketchyDataset(data_dir=sketchy_root, sketch_qry=True)
         assert len(ext) == len(base) + len(base.sketch_lst)
 
+    def test_sketch_qry_candidates_unique_and_queries_deduped(
+            self, sketchy_root, tmp_path):
+        """The reference builds cat_dic BEFORE appending sketches to the
+        query list (sketch_dataset.py:146-158), so positive-candidate
+        lists hold each sketch ONCE (without-replacement sampling depends
+        on it), and its final query list is pos_neg_dic.keys() — deduped
+        even when a sketch_qry split json already contains sketches."""
+        ext = SketchyDataset(data_dir=sketchy_root, sketch_qry=True)
+        for cands in ext.index.pos_candidates:
+            assert len(set(cands.tolist())) == len(cands)
+        # split json produced with sketch_qry contains sketches; loading
+        # it with sketch_qry=True must not double-count them as queries
+        out = data_split_sketchy(sketchy_root, str(tmp_path / "sq.json"),
+                                 hard_split=False, sketch_qry=True)
+        ds = SketchyDataset(data_dir=sketchy_root, trainval_json=out,
+                            trainval="train", sketch_qry=True)
+        assert len(ds.image_lst) == len(set(ds.image_lst))
+
+    def test_soft_two_way_split_actually_splits(self, sketchy_root,
+                                                tmp_path):
+        """A 2-way soft split must partition each bucket between train and
+        val (the reference crashes on 2-way; a prior gate on the 3-way
+        test slice silently made train == val == everything)."""
+        out = data_split_sketchy(sketchy_root, str(tmp_path / "two.json"),
+                                 policy="cat", hard_split=False,
+                                 split=[0.8, 0.2])
+        d = json.load(open(out))
+        assert "test" not in d
+        assert not (set(d["train"]) & set(d["val"]))
+        assert len(d["train"]) + len(d["val"]) == 4 * 2 * 4
+        assert len(d["train"]) > len(d["val"]) > 0
+
+    def test_original_split_skips_stray_files(self, tmp_path):
+        root = make_original_tree(str(tmp_path / "o"))
+        # a stray root-level file and a previous run's split json must not
+        # crash the (recursive-glob) parser
+        with open(os.path.join(root, "README.txt"), "w") as f:
+            f.write("stray")
+        out = data_split_original(root, os.path.join(root, "split.json"),
+                                  policy="prod", hard_split=False)
+        d = json.load(open(out))
+        assert all("README" not in p and "split.json" not in p
+                   for part in d.values() for p in part)
+        # re-running with the json present inside data_dir also works
+        data_split_original(root, os.path.join(root, "split.json"),
+                            policy="prod", hard_split=False)
+
     def test_trainval_json(self, sketchy_root, tmp_path):
         out = data_split_sketchy(sketchy_root, str(tmp_path / "tv.json"),
                                  hard_split=False)
@@ -174,6 +221,30 @@ class TestImageDatasets:
         assert set(item) == {"P", "S", "N", "L"}
         assert item["P"].shape == (64, 64, 3)
         assert 0 <= item["L"] < len(ds.classes)
+
+    def test_triple_dataset_ignores_stray_files_and_validates(self,
+                                                              tmp_path):
+        """Non-image files (.DS_Store etc.) must not enter the sampling
+        universe, and class misalignment fails at construction, not deep
+        inside a training step."""
+        photo_root, sketch_root = make_classfolder_tree(str(tmp_path / "cf"))
+        with open(os.path.join(photo_root, "class0", ".DS_Store"), "w") as f:
+            f.write("junk")
+        with open(os.path.join(sketch_root, "class1", "notes.txt"), "w") as f:
+            f.write("junk")
+        ds = TripleDataset(photo_root, sketch_root)
+        assert all(p.lower().endswith((".jpg", ".png"))
+                   for p in ds.photo_paths)
+        for i in range(len(ds)):
+            item = ds.__getitem__(i, rng=np.random.default_rng(i))
+            assert item["P"].ndim == 3
+        # photo class with no sketch folder -> constructor-time error
+        os.makedirs(os.path.join(photo_root, "classX"))
+        with open(os.path.join(photo_root, "classX", "p.jpg"), "wb") as f:
+            from PIL import Image
+            Image.new("RGB", (8, 8)).save(f, format="JPEG")
+        with pytest.raises(ValueError, match="no sketches"):
+            TripleDataset(photo_root, sketch_root)
 
     def test_triple_dataset_decode_cache(self, tmp_path):
         """--cache parity with the other families: load_images pre-decodes
