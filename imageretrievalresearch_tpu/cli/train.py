@@ -106,6 +106,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--param_sharding", type=str, default="replicated",
+                   choices=("replicated", "fsdp"),
+                   help="state layout over the device mesh: replicated "
+                        "(DDP-style, the reference's strategy) or fsdp "
+                        "(ZeRO-3: params+optimizer sharded over the data "
+                        "axis, ~1/n_devices state bytes per chip)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--wandb", action="store_true")
     return p

@@ -69,6 +69,10 @@ class TrainConfig:
     # --- TPU-native knobs (no reference counterpart) ---
     compute_dtype: str = "bfloat16"   # reference used fp16 AMP
     num_devices: int | None = None    # data-parallel width (None = all)
+    param_sharding: str = "replicated"  # replicated (DDP-style) | fsdp
+                                      # (ZeRO-3: params+optimizer sharded
+                                      # over the data axis, ~1/n_devices
+                                      # state bytes per chip)
     checkpoint_dir: str | None = None
     wandb: bool = False               # observability is pluggable; no
                                       # hardcoded keys (cf. train/train.py:43)

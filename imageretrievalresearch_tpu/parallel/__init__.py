@@ -14,7 +14,14 @@ from imageretrievalresearch_tpu.parallel.mesh import (
     put_replicated,
     data_sharding,
 )
+from imageretrievalresearch_tpu.parallel.fsdp import (
+    constrain_fsdp,
+    fsdp_sharding,
+    fsdp_spec,
+    put_fsdp,
+)
 from imageretrievalresearch_tpu.parallel.gallery import sharded_cosine_topk
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "put_replicated",
-           "data_sharding", "sharded_cosine_topk"]
+           "data_sharding", "sharded_cosine_topk",
+           "fsdp_spec", "fsdp_sharding", "put_fsdp", "constrain_fsdp"]

@@ -26,6 +26,10 @@ from imageretrievalresearch_tpu.ops.preprocess import (
     build_image_transform,
     build_triplet_transform,
 )
+from imageretrievalresearch_tpu.parallel.fsdp import (
+    constrain_fsdp,
+    put_fsdp,
+)
 from imageretrievalresearch_tpu.parallel.mesh import (
     data_sharding,
     make_mesh,
@@ -90,6 +94,17 @@ class Trainer:
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.mesh = mesh or make_mesh(cfg.num_devices)
+        assert cfg.param_sharding in ("replicated", "fsdp"), (
+            f"param_sharding must be 'replicated' or 'fsdp', "
+            f"got {cfg.param_sharding!r}")
+        self._fsdp = cfg.param_sharding == "fsdp"
+        if self._fsdp and jax.process_count() > 1:
+            # checkpointing device_gets the state, which requires fully
+            # addressable arrays; multi-process FSDP needs a distributed
+            # save path this framework doesn't carry yet
+            raise NotImplementedError(
+                "param_sharding='fsdp' is single-process (single-controller) "
+                "only; multi-process runs use replicated state")
         # multi-process runs: only process 0 writes logs/checkpoints
         self._is_main = jax.process_index() == 0
         self.logger = logger or MetricLogger(
@@ -184,8 +199,15 @@ class Trainer:
             base_eval = build_eval_step(backbone, cfg)
         tf, etf = self.transform, self.eval_transform
 
+        fsdp, mesh_ = self._fsdp, self.mesh
+
         def fused_train(state, raw_batch, tkey, skey):
-            return base_train(state, tf(raw_batch, tkey), skey)
+            new_state, metrics = base_train(state, tf(raw_batch, tkey), skey)
+            if fsdp:
+                # pin the updated state to its FSDP layout so the sharded
+                # memory footprint survives every step by construction
+                new_state = constrain_fsdp(mesh_, new_state)
+            return new_state, metrics
 
         def fused_eval(state, raw_batch):
             return base_eval(state, etf(raw_batch, None))
@@ -214,6 +236,13 @@ class Trainer:
                                                   tx if tx is not None
                                                   else self.tx)
         # multi-process safe: every process runs the identical seeded init
+        return self._put_state(state)
+
+    def _put_state(self, state: EmbedTrainState) -> EmbedTrainState:
+        """Place a host-resident state onto the mesh in the configured
+        layout (replicated DDP-style, or FSDP-sharded params+optimizer)."""
+        if self._fsdp:
+            return put_fsdp(self.mesh, state)
         return put_replicated(self.mesh, state)
 
     # --- loops ---
@@ -357,7 +386,7 @@ class Trainer:
         if resume and self.ckpt and self.ckpt.latest_step() is not None:
             restored = self.ckpt.restore(jax.device_get(state),
                                          step=self.ckpt.latest_step())
-            state = put_replicated(self.mesh, restored)
+            state = self._put_state(restored)
             steps_per_epoch = max(1, len(self.train_loader))
             start_epoch = int(state.step) // steps_per_epoch
             print(f"[trainer] resumed from step {int(state.step)} "
