@@ -15,6 +15,7 @@ from imageretrievalresearch_tpu.parallel.mesh import (
     data_sharding,
 )
 from imageretrievalresearch_tpu.parallel.fsdp import (
+    check_model_axis_safety,
     constrain_fsdp,
     fsdp_sharding,
     fsdp_spec,
@@ -24,4 +25,5 @@ from imageretrievalresearch_tpu.parallel.gallery import sharded_cosine_topk
 
 __all__ = ["make_mesh", "shard_batch", "replicate", "put_replicated",
            "data_sharding", "sharded_cosine_topk",
-           "fsdp_spec", "fsdp_sharding", "put_fsdp", "constrain_fsdp"]
+           "fsdp_spec", "fsdp_sharding", "put_fsdp", "constrain_fsdp",
+           "check_model_axis_safety"]

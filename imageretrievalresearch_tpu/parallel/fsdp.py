@@ -87,6 +87,42 @@ def put_fsdp(mesh: Mesh, tree: Any, axis_name: str = "data",
     return jax.tree.map(put, tree, shardings)
 
 
+# Families whose backbones contain grouped convolutions
+# (feature_group_count > 1): depthwise MBConv stages (efficientnet, rexnet)
+# and cardinality-grouped bottlenecks (resnext). Under XLA 0.9.0's GSPMD
+# partitioner, the kernel GRADIENT of a grouped conv on a >=2D mesh is
+# silently multiplied by the size of every mesh axis over which the conv's
+# input activations are replicated (measured: exactly 2x on a (data=4,
+# model=2) mesh, 4x on (data=2, model=4); correct when the activation
+# channel dim is actually sharded on that axis, and always correct on a 1D
+# mesh — see tests/test_fsdp.py::TestGroupedConv2DMeshCanary). Whether a
+# given layer's activations end up replicated is decided by sharding
+# propagation, not by us — so hybrid (model-axis) sharding of these
+# families is a silent-wrong-gradients trap, not a perf question.
+GROUPED_CONV_FAMILIES = ("efficientnet", "rexnet", "resnext")
+
+
+def check_model_axis_safety(model_name: str, mesh: Mesh,
+                            axis_name: str = "model") -> None:
+    """Refuse hybrid (model-axis) sharding for grouped-conv model families.
+
+    Only relevant for >=2D meshes with a weight-sharding axis; the 1D DP and
+    1D FSDP paths (the Trainer's only meshes) compute grouped-conv gradients
+    correctly and are not affected. See ``GROUPED_CONV_FAMILIES`` above for
+    the XLA bug this guards against.
+    """
+    if axis_name not in mesh.axis_names or len(mesh.axis_names) < 2:
+        return
+    fam = model_name.lower()
+    if any(f in fam for f in GROUPED_CONV_FAMILIES):
+        raise NotImplementedError(
+            f"model-axis (hybrid) sharding of '{model_name}' is disabled: "
+            "XLA 0.9.0 GSPMD mis-scales grouped-conv kernel gradients on "
+            ">=2D meshes (see parallel/fsdp.py GROUPED_CONV_FAMILIES). Use "
+            "a 1D mesh (param_sharding='fsdp') or a dense backbone (swin, "
+            "resnet50).")
+
+
 def constrain_fsdp(mesh: Mesh, tree: Any, axis_name: str = "data",
                    min_elems: int = MIN_SHARD_ELEMS) -> Any:
     """``with_sharding_constraint`` the tree to its FSDP layout inside jit.
