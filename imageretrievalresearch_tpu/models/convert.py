@@ -366,6 +366,84 @@ def convert_torch_state_dict(state_dict: dict, backbone,
     return out
 
 
+def export_torch_state_dict(backbone, variables, *, lightning: bool = False,
+                            template: dict | None = None,
+                            strict: bool = True) -> dict:
+    """Flax variables -> torch/timm state dict (inverse of
+    :func:`convert_torch_state_dict`).
+
+    Lets a model trained in this framework round-trip back into the
+    reference's torch tooling (inference/inference.py:114-124 loads exactly
+    this shape of dict): conv kernels go HWIO -> OIHW, linear kernels
+    (in,out) -> (out,in), BN scale/bias/stats regain their timm names.
+
+    ``lightning=True`` prefixes every key with ``model.`` — the layout the
+    published Lightning checkpoints use and the reference strips on load.
+
+    ``template`` (optional): a torch ``state_dict()`` from the target torch
+    module. Exported tensors are overlaid onto a copy of it, so
+    non-parameter buffers the mapping does not produce (BN
+    ``num_batches_tracked``, Swin's recomputed ``relative_position_index`` /
+    ``attn_mask``) keep the template's values and
+    ``load_state_dict(strict=True)`` passes. Without a template, BN
+    ``num_batches_tracked`` zeros are still synthesized (every plain-torch
+    BN checkpoint carries them); Swin's recomputed buffers are not — load
+    with ``strict=False`` or supply a template for those.
+    """
+    try:
+        import torch
+    except ImportError:  # export still works; values stay numpy
+        torch = None
+
+    mapping = key_map_for(backbone)
+    params = variables["net"]["params"]
+    stats = variables["net"].get("batch_stats", {})
+
+    def fetch(path: tuple, kind: str, torch_key: str):
+        node = stats if kind in ("bn_mean", "bn_var") else params
+        for p in path:
+            if not isinstance(node, dict) or p not in node:
+                if strict:
+                    raise KeyError(
+                        f"{torch_key}: flax path {path} not in variables")
+                return None
+            node = node[p]
+        val = np.asarray(node, dtype=np.float32)
+        if kind == "conv":
+            val = np.transpose(val, (3, 2, 0, 1))    # HWIO -> OIHW
+        elif kind == "linear":
+            val = np.transpose(val, (1, 0))          # (in,out) -> (out,in)
+        # writable contiguous copy: jax buffers are read-only through
+        # np.asarray, and torch.from_numpy rejects non-writable views
+        return np.array(val, copy=True, order="C")
+
+    sd: dict = dict(template) if template is not None else {}
+    if template is not None and lightning:
+        sd = {f"model.{k}": v for k, v in sd.items()}
+    for tkey, (path, kind) in mapping.items():
+        val = fetch(path, kind, tkey)
+        if val is None:
+            continue
+        out_key = f"model.{tkey}" if lightning else tkey
+        if template is not None and out_key not in sd:
+            if strict:
+                raise KeyError(
+                    f"{tkey}: not present in the provided template")
+            continue
+        sd[out_key] = torch.from_numpy(val) if torch is not None else val
+    if template is None:
+        # plain-torch BN state dicts always carry num_batches_tracked
+        for tkey, (_, kind) in mapping.items():
+            if kind != "bn_var":
+                continue
+            nbt = tkey.rsplit(".", 1)[0] + ".num_batches_tracked"
+            out_key = f"model.{nbt}" if lightning else nbt
+            sd[out_key] = (torch.zeros((), dtype=torch.long)
+                           if torch is not None
+                           else np.zeros((), dtype=np.int64))
+    return sd
+
+
 def load_checkpoint(checkpoint_path: str, backbone,
                     *, sample_shape: tuple = (1, 224, 224, 3),
                     from_pytorch_lightning: bool = True,
