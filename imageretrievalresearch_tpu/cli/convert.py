@@ -30,7 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="torch/Lightning checkpoint path")
     p.add_argument("--model_name", required=True)
     p.add_argument("--num_classes", type=int, default=125)
-    p.add_argument("--out", required=True, help="orbax output directory")
+    p.add_argument("--out", required=True,
+                   help="output path: orbax directory (--to orbax) or "
+                        "torch checkpoint file (--to torch)")
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--conv_input", action="store_true")
     p.add_argument("--not_lightning", action="store_true",
@@ -48,7 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main() -> None:
-    args = build_parser().parse_args()
+    parser = build_parser()
+    args = parser.parse_args()
+    if args.lightning_out and args.to != "torch":
+        parser.error("--lightning_out requires --to torch (the default "
+                     "--to orbax output has no Lightning wrapping)")
     import os
 
     import orbax.checkpoint as ocp

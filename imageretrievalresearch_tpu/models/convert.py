@@ -302,12 +302,33 @@ _NONPARAM_BUFFER_RE = re.compile(
     r"(^|\.)(num_batches_tracked|relative_position_index|attn_mask)$")
 
 
+# The reference's conv_input model is ``nn.Sequential(Sequential(conv,
+# SiLU), base_model)`` (inference/inference.py:101-105), so a
+# conv_input-trained state dict carries the stem conv at ``0.0.weight``
+# and every timm key under a ``1.`` prefix.
+_STEM_TORCH_KEY = "0.0.weight"
+
+
 def convert_torch_state_dict(state_dict: dict, backbone,
                              variables: dict, *, strict: bool = True) -> dict:
     """Map a (prefix-stripped) torch state dict onto freshly-initialized
     variables, with shape checks. Returns updated variables."""
     state_dict = {k: v for k, v in state_dict.items()
                   if not _NONPARAM_BUFFER_RE.search(k)}
+    stem_kernel = None
+    if getattr(backbone, "stem", None) is not None:
+        if _STEM_TORCH_KEY in state_dict:
+            # conv_input-trained checkpoint: consume the stem conv and
+            # unwrap the Sequential's '1.' prefix from the timm keys
+            stem_kernel = _conv_kernel(_tn(state_dict.pop(_STEM_TORCH_KEY)))
+            state_dict = {(k[2:] if k.startswith("1.") else k): v
+                          for k, v in state_dict.items()}
+        elif strict:
+            raise ValueError(
+                f"conv_input backbone but no {_STEM_TORCH_KEY!r} stem key in "
+                "the state dict — a base (stem-less) checkpoint loads into a "
+                "conv_input model only with strict=False (random stem, the "
+                "reference's strict=False behavior, inference.py:124)")
     mapping = key_map_for(backbone)
     params = jax.tree.map(np.asarray, variables["net"]["params"])
     stats = jax.tree.map(np.asarray,
@@ -363,6 +384,15 @@ def convert_torch_state_dict(state_dict: dict, backbone,
     if stats:
         net["batch_stats"] = jax.tree.map(jnp.asarray, stats)
     out["net"] = net
+    if stem_kernel is not None:
+        want = variables["stem"]["params"]["conv"]["kernel"]
+        if tuple(stem_kernel.shape) != tuple(want.shape):
+            raise ValueError(
+                f"{_STEM_TORCH_KEY}: shape {stem_kernel.shape} != flax stem "
+                f"kernel {tuple(want.shape)}")
+        out["stem"] = {"params": {"conv": {
+            "kernel": jnp.asarray(stem_kernel.astype(np.asarray(want).dtype))
+        }}}
     return out
 
 
@@ -417,14 +447,32 @@ def export_torch_state_dict(backbone, variables, *, lightning: bool = False,
         # np.asarray, and torch.from_numpy rejects non-writable views
         return np.array(val, copy=True, order="C")
 
+    # conv_input backbones export the reference's Sequential layout:
+    # stem conv at '0.0.weight', timm keys under '1.' (inference.py:101-105)
+    seq = "1." if getattr(backbone, "stem", None) is not None else ""
+
+    def out_key_for(tkey: str) -> str:
+        k = f"{seq}{tkey}"
+        return f"model.{k}" if lightning else k
+
     sd: dict = dict(template) if template is not None else {}
     if template is not None and lightning:
         sd = {f"model.{k}": v for k, v in sd.items()}
+    if seq:
+        if "stem" not in variables:
+            raise KeyError(
+                "conv_input backbone but variables carry no 'stem' entry")
+        kern = np.transpose(
+            np.asarray(variables["stem"]["params"]["conv"]["kernel"],
+                       dtype=np.float32), (3, 2, 0, 1)).copy()
+        stem_key = (f"model.{_STEM_TORCH_KEY}" if lightning
+                    else _STEM_TORCH_KEY)
+        sd[stem_key] = torch.from_numpy(kern) if torch is not None else kern
     for tkey, (path, kind) in mapping.items():
         val = fetch(path, kind, tkey)
         if val is None:
             continue
-        out_key = f"model.{tkey}" if lightning else tkey
+        out_key = out_key_for(tkey)
         if template is not None and out_key not in sd:
             if strict:
                 raise KeyError(
@@ -437,7 +485,7 @@ def export_torch_state_dict(backbone, variables, *, lightning: bool = False,
             if kind != "bn_var":
                 continue
             nbt = tkey.rsplit(".", 1)[0] + ".num_batches_tracked"
-            out_key = f"model.{nbt}" if lightning else nbt
+            out_key = out_key_for(nbt)
             sd[out_key] = (torch.zeros((), dtype=torch.long)
                            if torch is not None
                            else np.zeros((), dtype=np.int64))

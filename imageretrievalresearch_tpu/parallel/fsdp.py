@@ -52,10 +52,31 @@ def fsdp_spec(shape: tuple, n_shards: int, axis_name: str = "data",
     return P(*spec)
 
 
+def _guard_model_axis(mesh: Mesh, axis_name: str,
+                      model_name: str | None) -> None:
+    """Weight sharding over a non-'data' axis of a >=2D mesh is the hybrid
+    layout where XLA 0.9.0 silently mis-scales grouped-conv kernel gradients
+    (see ``GROUPED_CONV_FAMILIES``) — it requires ``model_name`` so the
+    family guard can run. 1D meshes and the 'data' axis are always safe."""
+    if axis_name == "data" or len(mesh.axis_names) < 2:
+        return
+    if mesh.shape[axis_name] == 1:
+        return   # a 1-wide axis shards nothing; the ×axis_size bug is ×1
+    if model_name is None:
+        raise ValueError(
+            f"weight sharding over mesh axis {axis_name!r} of a "
+            f"{len(mesh.axis_names)}D mesh requires model_name= so the "
+            "grouped-conv gradient guard can run (see "
+            "check_model_axis_safety)")
+    check_model_axis_safety(model_name, mesh, axis_name)
+
+
 def fsdp_sharding(mesh: Mesh, tree: Any, axis_name: str = "data",
-                  min_elems: int = MIN_SHARD_ELEMS) -> Any:
+                  min_elems: int = MIN_SHARD_ELEMS,
+                  model_name: str | None = None) -> Any:
     """Pytree of NamedShardings mirroring ``tree`` (shapes may come from
     concrete arrays or ShapeDtypeStructs — only ``.shape`` is read)."""
+    _guard_model_axis(mesh, axis_name, model_name)
     n = mesh.shape[axis_name]
 
     def leaf(x):
@@ -66,7 +87,8 @@ def fsdp_sharding(mesh: Mesh, tree: Any, axis_name: str = "data",
 
 
 def put_fsdp(mesh: Mesh, tree: Any, axis_name: str = "data",
-             min_elems: int = MIN_SHARD_ELEMS) -> Any:
+             min_elems: int = MIN_SHARD_ELEMS,
+             model_name: str | None = None) -> Any:
     """Place a host pytree onto the mesh FSDP-sharded.
 
     Single-process meshes use a plain sharded ``device_put``. Multi-process
@@ -74,8 +96,12 @@ def put_fsdp(mesh: Mesh, tree: Any, axis_name: str = "data",
     addressable shards via ``make_array_from_callback`` — every process must
     hold the identical full value (e.g. a same-seed init), mirroring the
     ``put_replicated`` contract.
+
+    Sharding over a non-'data' axis of a >=2D mesh (the hybrid layout)
+    requires ``model_name`` — grouped-conv families are refused there
+    (see ``check_model_axis_safety``).
     """
-    shardings = fsdp_sharding(mesh, tree, axis_name, min_elems)
+    shardings = fsdp_sharding(mesh, tree, axis_name, min_elems, model_name)
 
     def put(x, s):
         x = np.asarray(x)
@@ -113,6 +139,8 @@ def check_model_axis_safety(model_name: str, mesh: Mesh,
     """
     if axis_name not in mesh.axis_names or len(mesh.axis_names) < 2:
         return
+    if mesh.shape[axis_name] == 1:
+        return   # a 1-wide axis shards nothing; the ×axis_size bug is ×1
     fam = model_name.lower()
     if any(f in fam for f in GROUPED_CONV_FAMILIES):
         raise NotImplementedError(
@@ -124,14 +152,17 @@ def check_model_axis_safety(model_name: str, mesh: Mesh,
 
 
 def constrain_fsdp(mesh: Mesh, tree: Any, axis_name: str = "data",
-                   min_elems: int = MIN_SHARD_ELEMS) -> Any:
+                   min_elems: int = MIN_SHARD_ELEMS,
+                   model_name: str | None = None) -> Any:
     """``with_sharding_constraint`` the tree to its FSDP layout inside jit.
 
     Applied to the updated train state before it leaves the step so the
     optimizer update provably stays sharded (GSPMD usually propagates the
     input sharding to the elementwise update anyway; the constraint makes the
-    memory property a guarantee instead of a compiler mood).
+    memory property a guarantee instead of a compiler mood). Non-'data'
+    axes require ``model_name`` (see ``put_fsdp``).
     """
+    _guard_model_axis(mesh, axis_name, model_name)
     n = mesh.shape[axis_name]
 
     def leaf(x):

@@ -94,9 +94,12 @@ class Trainer:
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.mesh = mesh or make_mesh(cfg.num_devices)
-        assert cfg.param_sharding in ("replicated", "fsdp"), (
-            f"param_sharding must be 'replicated' or 'fsdp', "
-            f"got {cfg.param_sharding!r}")
+        if cfg.param_sharding not in ("replicated", "fsdp"):
+            # a real raise, not assert: under `python -O` an assert would
+            # vanish and a typo'd value would silently train replicated
+            raise ValueError(
+                f"param_sharding must be 'replicated' or 'fsdp', "
+                f"got {cfg.param_sharding!r}")
         self._fsdp = cfg.param_sharding == "fsdp"
         if self._fsdp and jax.process_count() > 1:
             # checkpointing device_gets the state, which requires fully

@@ -304,3 +304,63 @@ class TestTorchExport:
         for a, b in zip(jax.tree.leaves(variables["net"]),
                         jax.tree.leaves(back["net"])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestConvInputConversion:
+    """conv_input checkpoints both ways: the reference wraps the model as
+    nn.Sequential(Sequential(Conv2d(3,3,3x3,bias=False), SiLU), base)
+    (inference/inference.py:101-105), so trained state dicts carry the stem
+    at '0.0.weight' and timm keys under '1.'."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        torch.manual_seed(1)
+        base = TorchEffNetB0(num_classes=7).eval()
+        with torch.no_grad():
+            _randomize_bn_stats(base, np.random.default_rng(5))
+        stem = nn.Sequential(
+            nn.Conv2d(3, 3, kernel_size=3, stride=1, padding=1, bias=False),
+            nn.SiLU(inplace=True))
+        tmodel = nn.Sequential(stem, base).eval()
+        bb = create_model("efficientnet_b0", num_classes=7, conv_input=True)
+        variables = bb.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        variables = convert_torch_state_dict(tmodel.state_dict(), bb,
+                                             variables, strict=True)
+        return tmodel, bb, variables
+
+    def test_forward_parity_with_stem(self, pair, rng):
+        tmodel, bb, variables = pair
+        x = rng.random((2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        ours = np.asarray(bb(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+
+    def test_export_reproduces_sequential_state_dict(self, pair):
+        from imageretrievalresearch_tpu.models.convert import (
+            export_torch_state_dict,
+        )
+        tmodel, bb, variables = pair
+        sd = export_torch_state_dict(bb, variables)
+        ref = tmodel.state_dict()
+        assert set(sd) == set(ref)
+        for k in ref:
+            np.testing.assert_array_equal(
+                np.asarray(sd[k]), ref[k].numpy(),
+                err_msg=f"conv_input round-trip mismatch at {k}")
+
+    def test_strict_refuses_stemless_dict_into_conv_input_model(self):
+        torch.manual_seed(2)
+        base = TorchEffNetB0(num_classes=7).eval()
+        bb = create_model("efficientnet_b0", num_classes=7, conv_input=True)
+        variables = bb.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        with pytest.raises(ValueError, match="conv_input"):
+            convert_torch_state_dict(base.state_dict(), bb, variables,
+                                     strict=True)
+        # lenient = the reference's strict=False behavior: base weights
+        # load, the stem stays randomly initialized
+        out = convert_torch_state_dict(base.state_dict(), bb, variables,
+                                       strict=False)
+        np.testing.assert_array_equal(
+            np.asarray(out["stem"]["params"]["conv"]["kernel"]),
+            np.asarray(variables["stem"]["params"]["conv"]["kernel"]))

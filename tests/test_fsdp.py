@@ -210,8 +210,11 @@ class TestFsdpTrainStep:
 
         cfg = TrainConfig(model_name="swin_s3_tiny_224", image_size=64,
                           compute_dtype="float32")
+        # shrunken per CLAUDE.md (2 blocks instead of 12): embed_dim stays
+        # 96 so qkv kernels clear MIN_SHARD_ELEMS and actually shard
         bb = create_model(cfg.model_name, num_classes=4, img_size=64,
-                          drop_path_rate=0.0)
+                          drop_path_rate=0.0, depths=(1, 1),
+                          num_heads=(3, 6), window_sizes=(8, 8))
         variables = bb.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
         tx = make_optimizer("SGD", 1e-2, 0.0)
         state = EmbedTrainState.from_backbone(bb, variables, tx)
@@ -223,9 +226,11 @@ class TestFsdpTrainStep:
 
         def hybrid_step(s, b, k):
             ns, m = base(s, b, k)
-            return constrain_fsdp(mesh2d, ns, axis_name="model"), m
+            return constrain_fsdp(mesh2d, ns, axis_name="model",
+                                  model_name=cfg.model_name), m
 
-        state_h = put_fsdp(mesh2d, state, axis_name="model")
+        state_h = put_fsdp(mesh2d, state, axis_name="model",
+                           model_name=cfg.model_name)
         big = [w for w in jax.tree.leaves(state_h.params)
                if fsdp_spec(w.shape, 2, axis_name="model") != P()]
         assert big, "nothing sharded on the model axis?"
@@ -259,6 +264,28 @@ class TestFsdpTrainStep:
         check_model_axis_safety("swin_s3_tiny_224", mesh2d)
         check_model_axis_safety("resnet50", mesh2d)
         check_model_axis_safety("efficientnet_b0", make_mesh(8))
+        # 1-wide model axis shards nothing — the ×axis_size bug is ×1
+        mesh_deg = Mesh(np.asarray(jax.devices()[:8]).reshape(8, 1),
+                        ("data", "model"))
+        check_model_axis_safety("efficientnet_b3a", mesh_deg)
+
+    def test_put_fsdp_model_axis_requires_model_name(self):
+        """The guard is wired into the sharding entry points themselves:
+        hybrid (non-'data' axis) placement without model_name is refused,
+        and grouped-conv families are refused by name."""
+        mesh2d = Mesh(np.asarray(jax.devices()[:8]).reshape(4, 2),
+                      ("data", "model"))
+        tree = {"w": np.zeros((128, 128), np.float32)}
+        with pytest.raises(ValueError, match="model_name"):
+            put_fsdp(mesh2d, tree, axis_name="model")
+        with pytest.raises(NotImplementedError, match="grouped-conv"):
+            put_fsdp(mesh2d, tree, axis_name="model",
+                     model_name="efficientnet_b3a")
+        with pytest.raises(ValueError, match="model_name"):
+            constrain_fsdp(mesh2d, tree, axis_name="model")
+        # the 'data' axis and 1D meshes need no model_name (Trainer's paths)
+        put_fsdp(mesh2d, tree, axis_name="data")
+        put_fsdp(make_mesh(8), tree)
 
 
 class TestGroupedConv2DMeshCanary:
