@@ -291,13 +291,28 @@ def _build(args) -> None:
                     [x, np.repeat(x[-1:], args.batch_size - n_real, 0)])
             emb = embed_fn(x)[:n_real]
             if idx is None:
+                # record the host decode recipe so query/serve can replay
+                # the exact embed path later: host resizes are PIL bilinear,
+                # device resizes are jax.image.resize — close but not
+                # bit-identical, and near-tied gallery scores can flip
+                # ranks if queries take a different resampler than the
+                # gallery did
+                decode_hw = [int(x.shape[1]), int(x.shape[2])]
                 idx = GalleryIndex(emb.shape[1], meta={
                     "model": args.model_name,
                     "checkpoint": args.checkpoint_path,
                     "transform": transform, "input_size": input_size,
                     "num_classes": args.num_classes,
                     "conv_input": bool(args.conv_input),
+                    "host_size": args.host_size,
+                    "decode_hw": decode_hw,
                     "class_names": [d.name for d in class_dirs]})
+            elif (idx.meta.get("decode_hw") is not None
+                  and list(idx.meta["decode_hw"]) != [int(x.shape[1]),
+                                                      int(x.shape[2])]):
+                # mixed native resolutions across classes (only possible
+                # without --host_size): no single replayable decode shape
+                idx.meta["decode_hw"] = None
             idx.add(emb, np.full(len(chunk), ci, np.int32),
                     paths=[str(p) for p in chunk])
     if idx is None:
@@ -547,16 +562,32 @@ def _make_server(args):
     stack = _load_stack(args, idx)
     transform, input_size = stack.transform, stack.input_size
 
+    # Canonical upload shape: REPLAY the artifact's build-time decode
+    # recipe (meta host_size/decode_hw) so a served query and a
+    # `gallery query` of the same image take the same host-resize +
+    # device-resize chain as the gallery items did — PIL and
+    # jax.image.resize bilinear differ at the last-ULP level, enough to
+    # flip near-tied ranks if query and gallery mix resamplers. Still ONE
+    # fixed device shape per server (no per-size recompiles). Legacy
+    # artifacts without the recorded recipe fall back to input_size.
+    decode_hw = idx.meta.get("decode_hw") or (input_size, input_size)
+    if transform == "squarepad":
+        # build fed the device SquarePad square inputs (host pre-pad with
+        # --host_size, native squares otherwise); uploads pad on host at
+        # source aspect, then resize to the square the device path expects
+        decode_side = max(int(decode_hw[0]), int(decode_hw[1]))
+        decode_hw = (decode_side, decode_side)
+
     def decode_canonical(body: bytes) -> np.ndarray:
-        """One fixed device shape per server (no per-size recompiles):
-        'squarepad' pads to square with 255 on host (same arithmetic as
+        """'squarepad' pads to square with 255 on host (same arithmetic as
         the device SquarePad at source aspect) then resizes; 'plain'
-        resizes directly."""
+        resizes directly. PIL ``resize`` takes (W, H)."""
         with Image.open(io.BytesIO(body)) as im:
             im = im.convert("RGB")
             if transform == "squarepad":
                 im = _square_pad_pil(im)
-            im = im.resize((input_size, input_size), Image.BILINEAR)
+            im = im.resize((int(decode_hw[1]), int(decode_hw[0])),
+                           Image.BILINEAR)
             return np.asarray(im, np.uint8)[None]
 
     # ONE jitted program per (batch-pow2, num_unique): transform + embed +
@@ -602,6 +633,12 @@ def _make_server(args):
                             max_batch=getattr(args, "max_batch", 8))
 
     class Handler(BaseHTTPRequestHandler):
+        # socket timeout: a client that declares a Content-Length but
+        # trickles (or withholds) the body must not pin a handler thread
+        # and its buffers forever — the slow-body variant of the
+        # unbounded-buffering DoS _MAX_BODY_BYTES caps
+        timeout = 30
+
         def log_message(self, fmt, *a):       # stderr, not stdout
             sys.stderr.write("serve: " + fmt % a + "\n")
 
@@ -706,12 +743,24 @@ def run(args: argparse.Namespace) -> None:
     paths = _collect_images(args.images)
     print(f"{len(paths)} query images", file=sys.stderr)
     embed_fn, transform = _load_stack(args, idx)[:2]
+    if args.host_size is None:
+        # replay the artifact's build-time host resize so query embeddings
+        # take the same resampler chain as the gallery's (see _build meta)
+        args.host_size = idx.meta.get("host_size")
 
     embeds = []
     for i in range(0, len(paths), args.batch_size):
         x = _decode(paths[i:i + args.batch_size], args.host_size,
                     squarepad=transform == "squarepad")
-        embeds.append(embed_fn(x))
+        # pad the final partial batch to the full batch size (repeat the
+        # last image) so every dispatch reuses ONE compiled program —
+        # a distinct remainder shape would pay a fresh multi-minute XLA
+        # compile on a small host (same trick as _build)
+        n_real = x.shape[0]
+        if n_real < args.batch_size:
+            x = np.concatenate(
+                [x, np.repeat(x[-1:], args.batch_size - n_real, 0)])
+        embeds.append(embed_fn(x)[:n_real])
     queries = np.concatenate(embeds)
 
     for qpath, rec in zip(paths, _rank(idx, queries, args)):

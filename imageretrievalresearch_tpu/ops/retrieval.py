@@ -525,6 +525,43 @@ def _fused_eligible(q: int, g: int, d: int, k: int,
             and k <= t_depth * g_tile and k <= 1024)
 
 
+def certified_topk_repair(q_hat, gallery, k, vals, inds, ok, *,
+                          matmul_dtype, gallery_scale, full_fallback):
+    """Bounded certificate repair shared by the single-device
+    (:func:`cosine_topk`) and sharded (``parallel.gallery``) fused paths.
+
+    Row failures are rare (~1.6e-6/row for k=150, t=6, bins=512 under a
+    uniform top-k spread) but DETERMINISTIC per dataset: a whole-gallery
+    dense fallback would re-pay the full (Q, G) matmul on EVERY call for
+    one bad row (the ~3.7x cliff measured in PERF.md). Instead up to RETRY
+    failing rows are re-ranked densely through the same score arithmetic
+    (a (RETRY, G) matmul, ~1-2 ms) and scattered back;
+    ``full_fallback()`` — the caller's full dense pass — runs only beyond
+    that (P astronomically small, or adversarial ties)."""
+    q = q_hat.shape[0]
+    RETRY = min(64, q)
+    bad = (ok == 0).astype(jnp.int32)
+    n_bad = jnp.sum(bad)
+
+    def repair(_):
+        # indices of up to RETRY failing rows (ties padded by index order;
+        # surplus slots harmlessly re-rank row 0)
+        _, rows = jax.lax.top_k(bad, RETRY)
+        sub = q_hat[rows]                                # (RETRY, D)
+        sims = dense_scores(sub, gallery, matmul_dtype, gallery_scale)
+        rvals, rinds = chunked_topk(sims, k)
+        keep = (jnp.arange(RETRY) < n_bad)[:, None]
+        return (vals.at[rows].set(jnp.where(keep, rvals, vals[rows])),
+                inds.at[rows].set(jnp.where(keep, rinds, inds[rows])))
+
+    return jax.lax.cond(
+        n_bad == 0,
+        lambda _: (vals, inds),
+        lambda _: jax.lax.cond(n_bad <= RETRY, repair,
+                               lambda __: full_fallback(), _),
+        None)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "query_block", "use_pallas",
                                     "interpret", "method", "recall_target",
@@ -629,35 +666,10 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
                                               gallery_scale=gallery_scale,
                                               interpret=interpret)
 
-    # Certificate repair. Row failures are rare (~1.6e-6/row for k=150,
-    # t=6, bins=512 under a uniform top-k spread) but DETERMINISTIC per
-    # dataset: before this retry path, one unlucky dataset paid a full
-    # dense re-rank (3.7x latency) on EVERY call. Now up to RETRY rows are
-    # re-ranked densely through the same score arithmetic (a (RETRY, G)
-    # matmul, ~1-2 ms) and scattered back; only >RETRY failures — P
-    # astronomically small, or adversarial ties — fall back to the full
-    # dense pass.
-    RETRY = min(64, q)
-    bad = (ok == 0).astype(jnp.int32)
-    n_bad = jnp.sum(bad)
-
-    def repair(_):
-        # indices of up to RETRY failing rows (ties padded by index order;
-        # surplus slots harmlessly re-rank row 0)
-        _, rows = jax.lax.top_k(bad, RETRY)
-        sub = q_hat[rows]                                # (RETRY, D)
-        sims = dense_scores(sub, gallery, matmul_dtype, gallery_scale)
-        rvals, rinds = chunked_topk(sims, k)
-        keep = (jnp.arange(RETRY) < n_bad)[:, None]
-        return (vals.at[rows].set(jnp.where(keep, rvals, vals[rows])),
-                inds.at[rows].set(jnp.where(keep, rinds, inds[rows])))
-
-    return jax.lax.cond(
-        n_bad == 0,
-        lambda _: (vals, inds),
-        lambda _: jax.lax.cond(n_bad <= RETRY, repair,
-                               lambda __: dense_rank(q_hat), _),
-        None)
+    return certified_topk_repair(q_hat, gallery, k, vals, inds, ok,
+                                 matmul_dtype=matmul_dtype,
+                                 gallery_scale=gallery_scale,
+                                 full_fallback=lambda: dense_rank(q_hat))
 
 
 def cosine_scores(queries: jax.Array, gallery: jax.Array,

@@ -18,6 +18,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from imageretrievalresearch_tpu.ops.retrieval import (
     _check_prepared,
     _fused_eligible,
+    certified_topk_repair,
     chunked_topk,
     dense_scores,
     fused_cosine_topk_pallas,
@@ -43,38 +44,15 @@ def _sharded_topk_impl(queries, gallery, *scale, mesh, axis_name, k, k_local,
             vals, inds, ok = fused_cosine_topk_pallas(
                 q_hat, g_local, k_local, matmul_dtype=matmul_dtype,
                 gallery_scale=gs_local, interpret=interpret)
-            # bounded certificate repair, mirroring cosine_topk: row
-            # failures are rare but DETERMINISTIC per dataset — a whole-
-            # shard dense fallback would re-pay the full (Q, shard) matmul
-            # on EVERY call for one bad row (the ~3.7x cliff measured in
-            # PERF.md); instead re-rank up to RETRY failing rows densely
-            # and scatter them back, full fallback only beyond that
-            q_rows = q_hat.shape[0]
-            RETRY = min(64, q_rows)
-            bad = (ok == 0).astype(jnp.int32)
-            n_bad = jnp.sum(bad)
-
-            def repair(_):
-                _, rows = jax.lax.top_k(bad, RETRY)
-                sub = q_hat[rows]
-                sims = dense_scores(sub, g_local, matmul_dtype, gs_local)
-                rvals, rinds = chunked_topk(sims, k_local)
-                keep = (jnp.arange(RETRY) < n_bad)[:, None]
-                return (vals.at[rows].set(
-                            jnp.where(keep, rvals, vals[rows])),
-                        inds.at[rows].set(
-                            jnp.where(keep, rinds, inds[rows])))
-
-            def full(_):
-                return tuple(chunked_topk(
+            # bounded per-shard certificate repair — the SAME parity-
+            # critical logic as the single-device path, shared via
+            # ops.retrieval.certified_topk_repair
+            vals, inds = certified_topk_repair(
+                q_hat, g_local, k_local, vals, inds, ok,
+                matmul_dtype=matmul_dtype, gallery_scale=gs_local,
+                full_fallback=lambda: tuple(chunked_topk(
                     dense_scores(q_hat, g_local, matmul_dtype, gs_local),
-                    k_local))
-
-            vals, inds = jax.lax.cond(
-                n_bad == 0,
-                lambda _: (vals, inds),
-                lambda _: jax.lax.cond(n_bad <= RETRY, repair, full, _),
-                None)
+                    k_local)))
         else:
             vals, inds = chunked_topk(
                 dense_scores(q_hat, g_local, matmul_dtype, gs_local),

@@ -26,6 +26,7 @@ notebook's unique-class dedup on top.
 
 from __future__ import annotations
 
+import functools
 import json
 from pathlib import Path
 
@@ -38,6 +39,19 @@ from imageretrievalresearch_tpu.ops.retrieval import cosine_topk, l2_normalize
 
 _FORMAT_VERSION = 1          # raw f32 embeddings
 _FORMAT_VERSION_COMPACT = 2  # bf16 bit-view / int8+scales storage
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _drop_pad_rows(vals, inds, n_real, k):
+    """Re-rank a top-(k+pad) result after masking pad rows to -inf, in ONE
+    device program: eager where/argsort/take would cost 4 dispatch round
+    trips (~28 ms each over the remote transport) per sharded query.
+    ``n_real`` is traced (recompiles only on new (Q, kk) shapes or k, not
+    on gallery growth)."""
+    vals = jnp.where(inds < n_real, vals, -jnp.inf)
+    order = jnp.argsort(-vals, axis=1, stable=True)[:, :k]
+    return (jnp.take_along_axis(vals, order, axis=1),
+            jnp.take_along_axis(inds, order, axis=1))
 
 
 def _np_quantize_rows_int8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -334,10 +348,7 @@ class GalleryIndex:
                                          gallery_scale=g_scale,
                                          interpret=interpret)
         if pad:
-            vals = jnp.where(inds < len(self), vals, -jnp.inf)
-            order = jnp.argsort(-vals, axis=1, stable=True)[:, :k]
-            vals = jnp.take_along_axis(vals, order, axis=1)
-            inds = jnp.take_along_axis(inds, order, axis=1)
+            vals, inds = _drop_pad_rows(vals, inds, len(self), k)
         else:
             vals, inds = vals[:, :k], inds[:, :k]
         vals, inds = np.asarray(vals), np.asarray(inds)

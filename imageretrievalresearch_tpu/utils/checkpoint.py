@@ -55,9 +55,17 @@ class CheckpointManager:
         )
         self._last = ocp.CheckpointManager(os.path.join(directory, "last"),
                                            options=last_options)
-        # save ordinal for tie-breaking; resumes continue after the
-        # already-saved count so later saves never tie-win an earlier epoch
-        self._ord = len(self._best.all_steps())
+        # save ordinal for tie-breaking; a resume must continue ABOVE every
+        # ordinal still retained (the retained count is not enough: deleted
+        # worse-metric saves may have consumed higher ordinals, and a new
+        # save reusing one would tie-WIN an earlier retained best — the
+        # opposite of the Lightning earliest-wins semantics)
+        ords = []
+        for s in self._best.all_steps():
+            m = self._best.metrics(s)
+            if m is not None:
+                ords.append(float(m.get("_ord", 0.0)))
+        self._ord = int(max(ords)) if ords else 0
 
     def save(self, step: int, state: Any, metrics: dict) -> None:
         self._ord += 1

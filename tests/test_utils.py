@@ -166,3 +166,31 @@ class TestCheckpointManager:
         mgr.wait()
         assert mgr.best_step() == 2
         mgr.close()
+
+    def test_resume_tie_still_keeps_pre_preemption_best(self, tmp_path):
+        """The tie-break ordinal must reseed above the RETAINED max, not the
+        retained count: evicted worse-metric saves consume ordinals, so a
+        count-based reseed hands a post-resume save a smaller ordinal than
+        the retained best — and an exact metric tie would then evict it
+        (Lightning keeps the earliest on ties)."""
+        from imageretrievalresearch_tpu.utils.checkpoint import (
+            CheckpointManager,
+        )
+
+        path = str(tmp_path / "ck")
+        mgr = CheckpointManager(path, monitor="cos_sims", mode="max",
+                                save_top_k=1)
+        self._save(mgr, 10, value=10, metric=0.7)   # _ord 1, later evicted
+        self._save(mgr, 20, value=20, metric=0.5)   # _ord 2, never retained
+        self._save(mgr, 30, value=30, metric=0.9)   # _ord 3, the best
+        mgr.wait()
+        assert mgr.best_step() == 30
+        mgr.close()
+        mgr2 = CheckpointManager(path, monitor="cos_sims", mode="max",
+                                 save_top_k=1)      # resume
+        self._save(mgr2, 60, value=60, metric=0.9)  # exact tie with step 30
+        mgr2.wait()
+        assert mgr2.best_step() == 30   # pre-preemption best survives
+        like = {"w": np.zeros((2,), np.float32)}
+        assert float(mgr2.restore(like)["w"][0]) == 30.0
+        mgr2.close()
