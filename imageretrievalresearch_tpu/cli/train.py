@@ -278,6 +278,19 @@ def run(args: argparse.Namespace) -> None:
     tr_ds = build_dataset(cfg, args, "train")
     val_ds = build_dataset(cfg, args, "val")
     num_classes = tr_ds.get_cat_length()
+    if cfg.effective_task != "classification" and cfg.loss_mode == "ce_only":
+        # ce_only targets PRODUCT labels (reference train.py:236-241 uses
+        # `regs`), so the head must be product-sized. The reference sizes
+        # every head by cat count (train.py:64), which torch rejects loudly
+        # ("Target out of bounds") the moment prods > cats — under jit the
+        # same gather silently yields NaN loss, so we implement the intent
+        # instead of the crash.
+        prod_classes = getattr(tr_ds, "get_prod_length", tr_ds.get_cat_length)()
+        if prod_classes != num_classes:
+            print(f"[train] ce_only trains on product labels: classifier "
+                  f"head sized {prod_classes} (products), not "
+                  f"{num_classes} (categories)")
+            num_classes = prod_classes
     print(f"Number of train set images: {len(tr_ds)}")
     if val_ds:
         print(f"Number of validation set images: {len(val_ds)}")

@@ -140,6 +140,32 @@ def unique_class_dedup(inds: jax.Array, vals: jax.Array, classes: jax.Array,
     return uniq_inds[:num_unique], uniq_vals[:num_unique], uniq_cls[:num_unique]
 
 
+def dedup_and_score(vals: jax.Array, inds: jax.Array,
+                    gallery_classes: jax.Array, query_classes: jax.Array,
+                    *, num_unique: int = 3) -> dict[str, jax.Array]:
+    """Shared tail of metric definition #3 from an already-ranked
+    (vals, inds): per-query unique-class dedup + top1/topN scoring —
+    ONE implementation, used by both :func:`gallery_topk_class_dedup` and
+    ``RetrievalEngine.evaluate_class_dedup`` (the fused-kernel path), so
+    the dedup/fill/tie semantics cannot drift between them."""
+    dedup = jax.vmap(
+        lambda i, v: unique_class_dedup(i, v, gallery_classes,
+                                        num_unique=num_unique))(
+        jnp.asarray(inds), jnp.asarray(vals))
+    uniq_inds, uniq_vals, uniq_cls = dedup
+    query_classes = jnp.asarray(query_classes)
+    gt = query_classes[:, None]
+    top_n = jnp.mean(jnp.any(uniq_cls == gt, axis=1).astype(jnp.float32))
+    top_1 = jnp.mean((uniq_cls[:, 0] == query_classes).astype(jnp.float32))
+    return {
+        f"top{num_unique}": top_n,
+        "top1": top_1,
+        "topk_inds": uniq_inds,
+        "top_vals": uniq_vals,
+        "top_r_list": uniq_cls,
+    }
+
+
 def gallery_topk_class_dedup(sims: jax.Array, query_classes: jax.Array,
                              gallery_classes: jax.Array, *, k: int = 150,
                              num_unique: int = 3) -> dict[str, jax.Array]:
@@ -151,20 +177,8 @@ def gallery_topk_class_dedup(sims: jax.Array, query_classes: jax.Array,
     """
     k = min(k, sims.shape[1])
     vals, inds = jax.lax.top_k(sims, k)                  # (Q, k)
-    dedup = jax.vmap(
-        lambda i, v: unique_class_dedup(i, v, gallery_classes,
-                                        num_unique=num_unique))(inds, vals)
-    uniq_inds, uniq_vals, uniq_cls = dedup
-    gt = query_classes[:, None]
-    top_n = jnp.mean(jnp.any(uniq_cls == gt, axis=1).astype(jnp.float32))
-    top_1 = jnp.mean((uniq_cls[:, 0] == query_classes).astype(jnp.float32))
-    return {
-        f"top{num_unique}": top_n,
-        "top1": top_1,
-        "topk_inds": uniq_inds,
-        "top_vals": uniq_vals,
-        "top_r_list": uniq_cls,
-    }
+    return dedup_and_score(vals, inds, gallery_classes, query_classes,
+                           num_unique=num_unique)
 
 
 def classifier_topk(logits: jax.Array, labels: jax.Array,

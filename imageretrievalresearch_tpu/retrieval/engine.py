@@ -102,13 +102,13 @@ class RetrievalEngine:
         g = embeds["fms_poss_all"]
         classes = embeds["classes_all"]
         vals, inds = self.search(q, g, k=min(k, len(g)))
-        dedup = jax.vmap(lambda i, v: M.unique_class_dedup(
-            i, v, jnp.asarray(classes), num_unique=num_unique))(
-            jnp.asarray(inds), jnp.asarray(vals))
-        uniq_inds, uniq_vals, uniq_cls = map(np.asarray, dedup)
-        gt = classes
-        top_n = float(np.mean(np.any(uniq_cls == gt[:, None], axis=1)))
-        top_1 = float(np.mean(uniq_cls[:, 0] == gt))
+        scored = M.dedup_and_score(vals, inds, jnp.asarray(classes),
+                                   classes, num_unique=num_unique)
+        uniq_inds = np.asarray(scored["topk_inds"])
+        uniq_vals = np.asarray(scored["top_vals"])
+        uniq_cls = np.asarray(scored["top_r_list"])
+        top_n = float(scored[f"top{num_unique}"])
+        top_1 = float(scored["top1"])
         pos_scores = _pairwise_cos(q, g)
         neg_scores = _pairwise_cos(q, embeds["fms_negs_all"])
         out = OrderedDict([

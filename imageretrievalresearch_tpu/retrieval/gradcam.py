@@ -25,8 +25,27 @@ from imageretrievalresearch_tpu.models.backbone import Backbone
 from imageretrievalresearch_tpu.ops.pooling import get_fm
 
 
+def _spatialize(fm: jax.Array) -> jax.Array:
+    """Transformer feature maps are (B, L, C) token sequences (Swin's
+    forward_features, models/swin.py) — fold L back into the (H, W) grid
+    so the CAM is spatial. CNN (B, H, W, C) maps pass through."""
+    if fm.ndim == 4:
+        return fm
+    if fm.ndim == 3:
+        b, length, c = fm.shape
+        side = int(round(length ** 0.5))
+        if side * side != length:
+            raise ValueError(
+                f"cannot spatialize a length-{length} token sequence "
+                "(not a square grid)")
+        return fm.reshape(b, side, side, c)
+    raise ValueError(f"expected (B,H,W,C) or (B,L,C) feature map, "
+                     f"got shape {fm.shape}")
+
+
 def _cam_from_fm(fm: jax.Array, grads: jax.Array) -> jax.Array:
-    """(B, H, W, C) fm + grads -> (B, H, W) normalized CAM."""
+    """(B, H, W, C) or (B, L, C) fm + grads -> (B, H, W) normalized CAM."""
+    fm, grads = _spatialize(fm), _spatialize(grads)
     weights = jnp.mean(grads, axis=(1, 2), keepdims=True)     # (B,1,1,C)
     cam = jax.nn.relu(jnp.sum(weights * fm, axis=-1))         # (B,H,W)
     cam_min = jnp.min(cam, axis=(1, 2), keepdims=True)

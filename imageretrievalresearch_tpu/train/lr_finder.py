@@ -64,6 +64,16 @@ def lr_find(make_state: Callable[[optax.Schedule], object],
     used_lrs = lrs[:len(losses_a)]
     if len(losses_a) < 3:
         return {"suggestion": None, "lrs": used_lrs, "losses": losses_a}
-    grads = np.gradient(losses_a)
-    suggestion = float(used_lrs[int(np.argmin(grads))])
+    # Lightning's suggestion(skip_begin=10, skip_end=1): the first points
+    # are pure batch-to-batch noise at useless lrs (~min_lr) and the last
+    # recorded point may be the divergence itself — a lucky downward blip
+    # there would otherwise win argmin. Short sweeps fall back to the full
+    # series (nothing left after skipping).
+    skip_begin, skip_end = 10, 1
+    if len(losses_a) >= skip_begin + skip_end + 3:
+        core = np.gradient(losses_a[skip_begin:-skip_end])
+        idx = int(np.argmin(core)) + skip_begin
+    else:
+        idx = int(np.argmin(np.gradient(losses_a)))
+    suggestion = float(used_lrs[idx])
     return {"suggestion": suggestion, "lrs": used_lrs, "losses": losses_a}

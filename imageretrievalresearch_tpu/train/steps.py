@@ -102,6 +102,10 @@ def build_train_step(backbone: Backbone, cfg: TrainConfig,
         if updates is not None and state.batch_stats:
             new_batch_stats = dict(state.batch_stats)
             new_batch_stats["net"] = updates["batch_stats"]
+        # the lr optax applies to THIS update is schedule(pre-increment
+        # step) — read it before apply_gradients bumps the counter, or the
+        # logged series reports every milestone drop one step early
+        lr_used = schedule(state.step) if schedule is not None else None
         state = state.apply_gradients(grads=grads,
                                       batch_stats=new_batch_stats)
 
@@ -115,8 +119,8 @@ def build_train_step(backbone: Backbone, cfg: TrainConfig,
             "train_top3": tk["top3"],
             "train_top1": tk["top1"],
         }
-        if schedule is not None:
-            metrics["lr"] = schedule(state.step)
+        if lr_used is not None:
+            metrics["lr"] = lr_used
         return state, metrics
 
     return train_step
@@ -150,13 +154,16 @@ def build_classifier_train_step(backbone: Backbone, cfg: TrainConfig,
         if updates is not None and state.batch_stats:
             new_batch_stats = dict(state.batch_stats)
             new_batch_stats["net"] = updates["batch_stats"]
+        # lr applied to THIS update = schedule(pre-increment step); see the
+        # triplet step above
+        lr_used = schedule(state.step) if schedule is not None else None
         state = state.apply_gradients(grads=grads,
                                       batch_stats=new_batch_stats)
         tk = M.classifier_topk(logits, batch["label"], k=3)
         metrics = {"train_loss": L.cross_entropy_loss(logits, batch["label"]),
                    "train_top3": tk["top3"], "train_top1": tk["top1"]}
-        if schedule is not None:
-            metrics["lr"] = schedule(state.step)
+        if lr_used is not None:
+            metrics["lr"] = lr_used
         return state, metrics
 
     return train_step

@@ -114,6 +114,26 @@ class TestGradCAM:
                                         jnp.asarray([0, 1])))
         assert np.isfinite(cam).all()
 
+    def test_swin_token_sequence_cam(self, rng):
+        """Swin forward_features returns (B, L, C) token sequences (two of
+        the five recipes are swin) — the CAM must fold L back into the
+        spatial grid instead of crashing on the missing axis."""
+        from imageretrievalresearch_tpu.models import create_model
+
+        bb = create_model("swin_s3_tiny_224", num_classes=4, img_size=64,
+                          depths=(1, 1), num_heads=(3, 6),
+                          window_sizes=(8, 8), drop_path_rate=0.0)
+        variables = bb.init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+        x = jnp.asarray(rng.random((2, 64, 64, 3)), dtype=jnp.float32)
+        ref = jnp.asarray(rng.normal(size=(2, bb.net.num_features)),
+                          dtype=jnp.float32)
+        cam = np.asarray(grad_cam_pair(bb, variables, x, ref))
+        assert cam.shape == (2, 8, 8)   # 64px / patch4 / one merge -> 8x8
+        assert (cam >= 0).all() and (cam <= 1).all()
+        cam_c = np.asarray(grad_cam_class(bb, variables, x,
+                                          jnp.asarray([0, 1])))
+        assert np.isfinite(cam_c).all()
+
 
 class TestShardedGallery:
     def test_matches_single_device(self, rng):

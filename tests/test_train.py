@@ -136,6 +136,31 @@ class TestSteps:
         assert set(k for k in m if k.startswith("val_loss")) == {
             "val_loss", "val_loss_ce_ims"}
 
+    def test_ce_only_prod_labels_need_prod_sized_head(self, rng):
+        """ce_only targets prod_idx; with a head sized by categories
+        (the reference's own sizing, train.py:64 vs :236-241) the jit CE
+        gather silently returns NaN — the CLI therefore sizes the head by
+        get_prod_length() in that mode. Pin both behaviors."""
+        cfg = _tiny_cfg(only_feature_embeddings=None,
+                        only_target_labels=True)
+        batch = _fake_batch(rng, n_cls=6)       # prod labels up to 5
+        batch["prod_idx"] = jnp.asarray([0, 1, 2, 3, 4, 5, 5, 4],
+                                        dtype=jnp.int32)
+
+        def one_step(num_classes):
+            bb = create_model(cfg.model_name, num_classes=num_classes,
+                              depth_mult=0.1, width_mult=0.5)
+            variables = bb.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+            state = EmbedTrainState.from_backbone(
+                bb, variables, make_optimizer("Adam", 1e-3, 0.0))
+            _, metrics = jax.jit(build_train_step(bb, cfg))(
+                state, batch, jax.random.key(1))
+            return float(metrics["train_loss"])
+
+        assert np.isfinite(one_step(6))         # prod-sized head: sound
+        # cat-sized head: the documented silent-NaN hazard the CLI avoids
+        assert not np.isfinite(one_step(3))
+
 
 class TestLearningSignal:
     def test_loss_decreases_on_fixed_batch(self, rng):
