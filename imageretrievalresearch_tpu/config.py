@@ -84,7 +84,11 @@ class TrainConfig:
         (imagefolder = the reference's single-image CE classifier,
         train/train_vit_crossentropy.py:50; all others = triplet)."""
         if self.task is not None:
-            assert self.task in ("triplet", "classification"), self.task
+            if self.task not in ("triplet", "classification"):
+                # a real raise, not assert: python -O strips asserts and a
+                # typo'd task would silently fall through
+                raise ValueError(f"task must be 'triplet' or "
+                                 f"'classification', got {self.task!r}")
             return self.task
         return ("classification" if self.dataset == "imagefolder"
                 else "triplet")
@@ -94,8 +98,12 @@ class TrainConfig:
         """The reference's only_features/only_labels triad
         (train/train.py:105-111) + the T3 contrastive recipe."""
         of, ol = self.only_feature_embeddings, self.only_target_labels
-        assert of or ol, ("Please choose at least one loss function to train "
-                          "the model (triplet loss or crossentropy loss)")
+        if not (of or ol):
+            # the reference's loud error (train/train.py:105); a raise, not
+            # assert, so python -O cannot misroute (None, None) to ce_only
+            raise ValueError(
+                "Please choose at least one loss function to train the "
+                "model (triplet loss or crossentropy loss)")
         if of and ol:
             return "cos_con_ce" if self.use_contrastive else "cos_ce"
         if of:

@@ -82,11 +82,22 @@ class TripletLoader:
         self.use_native = False
         if use_native:
             from imageretrievalresearch_tpu.data import native_loader
-            self.use_native = (native_loader.native_available()
-                               and host_size is not None
-                               and getattr(dataset, "index", None) is not None
-                               and getattr(dataset, "transform_dic", None)
-                               is None)
+            gates = {
+                "native .so unavailable (build failed or toolchain "
+                "missing)": native_loader.native_available(),
+                "host_size not set": host_size is not None,
+                "dataset has no TripletIndex": getattr(
+                    dataset, "index", None) is not None,
+                "dataset carries per-sample python transforms": getattr(
+                    dataset, "transform_dic", None) is None,
+            }
+            self.use_native = all(gates.values())
+            if not self.use_native:
+                # say which gate failed: a silent downgrade makes the user
+                # attribute PIL throughput/resampling to the C++ loader
+                why = "; ".join(k for k, ok in gates.items() if not ok)
+                print(f"[loader] WARNING: use_native requested but falling "
+                      f"back to the PIL path: {why}")
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -179,7 +190,9 @@ class TripletLoader:
             paths.extend(s["neg"])
         s_len = 1 + pn + nn
         hs = self.host_size
-        imgs = native_loader.decode_resize_batch(paths, hs, hs)
+        # strict: a decode failure raises (as the PIL path does via
+        # decode.py) instead of silently training on gray-filled slots
+        imgs = native_loader.decode_resize_batch(paths, hs, hs, strict=True)
         imgs = imgs.reshape(len(samples), s_len, hs, hs, 3)
         return {
             "qry": imgs[:, 0],

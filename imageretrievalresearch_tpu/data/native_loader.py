@@ -59,23 +59,38 @@ def native_available() -> bool:
 
 def decode_resize_batch(paths: list[str], h: int, w: int,
                         *, num_threads: int = 0,
-                        allow_fallback: bool = True) -> np.ndarray:
-    """(N, h, w, 3) uint8 from image paths; failed decodes come back gray."""
+                        allow_fallback: bool = True,
+                        strict: bool = False) -> np.ndarray:
+    """(N, h, w, 3) uint8 from image paths.
+
+    ``strict=True`` raises on any decode failure — the training loader uses
+    this so toggling ``--use_native_loader`` cannot turn the PIL path's
+    loud IOError into silently training on gray-filled slots. The default
+    keeps the lenient fill-gray contract for ad-hoc callers."""
     lib = _load_lib()
     if lib is None:
         if not allow_fallback:
             raise RuntimeError("native loader unavailable")
-        return _pil_fallback(paths, h, w)
+        return _pil_fallback(paths, h, w, strict=strict)
     n = len(paths)
     out = np.empty((n, h, w, 3), dtype=np.uint8)
     c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-    lib.irt_decode_resize_batch(
+    failures = lib.irt_decode_resize_batch(
         c_paths, n, h, w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), num_threads)
+    if strict and failures:
+        # the C++ side reports only the count; re-probe cheaply on this
+        # (already failing) path so the error names the culprits
+        bad = [p for p in paths if not os.path.isfile(p)][:4]
+        raise IOError(
+            f"native loader: {failures} of {n} images failed to decode"
+            + (f" (missing/unreadable: {bad})" if bad
+               else " (files exist; corrupt or unsupported format)"))
     return out
 
 
-def _pil_fallback(paths: list[str], h: int, w: int) -> np.ndarray:
+def _pil_fallback(paths: list[str], h: int, w: int,
+                  *, strict: bool = False) -> np.ndarray:
     from PIL import Image
 
     out = np.empty((len(paths), h, w, 3), dtype=np.uint8)
@@ -87,5 +102,7 @@ def _pil_fallback(paths: list[str], h: int, w: int) -> np.ndarray:
                     im = im.resize((w, h), Image.BILINEAR)
                 out[i] = np.asarray(im)
         except Exception:
+            if strict:
+                raise
             out[i] = 128
     return out

@@ -22,8 +22,11 @@ import jax.numpy as jnp
 # torch.nn.CosineSimilarity default eps used throughout the reference
 # (train/train.py:73: CosineSimilarity(dim=1, eps=1e-6)).
 COSINE_SIM_EPS = 1e-6
-# torch.nn.CosineEmbeddingLoss clamps each norm at 1e-8 internally.
-_COS_EMBED_EPS = 1e-8
+# torch.nn.CosineEmbeddingLoss adds 1e-12 to each SQUARED norm inside the
+# denominator: cos = <x1,x2> / sqrt((||x1||^2+eps)(||x2||^2+eps)).
+# (NOT a norm clamp like CosineSimilarity — verified against the installed
+# torch: x1=x2 at norm 1e-5 gives loss 0.0099, a clamp would give 0.)
+_COS_EMBED_SQ_EPS = 1e-12
 # reference utils/contrastive_loss.py:34 (self.eps = 1e-9).
 CONTRASTIVE_EPS = 1e-9
 
@@ -55,14 +58,16 @@ def cosine_embedding_loss(x1: jax.Array, x2: jax.Array, target: jax.Array | floa
     Per row: ``1 - cos(x1, x2)`` when target == 1, and
     ``max(0, cos(x1, x2) - margin)`` when target == -1. The reference always
     passes a broadcast scalar target (train/train.py:81 ``labels``;
-    :214-215 usage). torch clamps each norm at 1e-8 inside this loss.
+    :214-215 usage). torch's internal cos adds 1e-12 to each squared norm
+    (see ``_COS_EMBED_SQ_EPS``), which matters exactly for near-dead
+    embeddings early in training.
     """
     x1 = x1.astype(jnp.float32)
     x2 = x2.astype(jnp.float32)
     dot = jnp.sum(x1 * x2, axis=-1)
-    n1 = jnp.maximum(jnp.linalg.norm(x1, axis=-1), _COS_EMBED_EPS)
-    n2 = jnp.maximum(jnp.linalg.norm(x2, axis=-1), _COS_EMBED_EPS)
-    cos = dot / (n1 * n2)
+    sq1 = jnp.sum(jnp.square(x1), axis=-1) + _COS_EMBED_SQ_EPS
+    sq2 = jnp.sum(jnp.square(x2), axis=-1) + _COS_EMBED_SQ_EPS
+    cos = dot / jnp.sqrt(sq1 * sq2)
     target = jnp.asarray(target, dtype=jnp.float32)
     target = jnp.broadcast_to(target, cos.shape)
     pos_loss = 1.0 - cos

@@ -27,10 +27,14 @@ RECIPES: dict[str, dict] = {
         use_contrastive=True, autoaugment=True,
         milestones=(6, 15, 22, 30, 35, 40)),
     # T4 train/train_vit_triplet.py — swin, embedding-only, cos(0.2) only,
-    # MultiStepLR [10,20,30,40,50], lr 1e-5, wd 1e-6, bs 32
+    # MultiStepLR [10,20,30,40,50], lr 1e-5, wd 1e-6, bs 32. The reference
+    # script hardcodes the photo/+sketch/ class-folder TripleDataset
+    # (train_vit_triplet.py:17,47-48), so the preset selects that layout —
+    # pass --dataset sketchy explicitly to run it on a Sketchy tree.
     "train_vit_triplet": dict(
         model_name="swin_s3_base_224", cos_margin=0.2,
         only_feature_embeddings=True, only_target_labels=None,
+        dataset="triple",
         learning_rate=1e-5, weight_decay=1e-6, batch_size=32,
         milestones=(10, 20, 30, 40, 50)),
     # T5 train/train_vit_crossentropy.py — plain classification on an

@@ -162,6 +162,11 @@ bool decode_png(FILE* f, std::vector<uint8_t>* out, int* w, int* h) {
   if (color == PNG_COLOR_TYPE_GRAY || color == PNG_COLOR_TYPE_GRAY_ALPHA)
     png_set_gray_to_rgb(png);
   png_set_strip_alpha(png);
+  // Adam7-interlaced PNGs: register the de-interlacer, then read the whole
+  // image at once (png_read_image composes all passes; plain row-by-row
+  // reads would return raw interlace-pass rows — scrambled pixels counted
+  // as a successful decode)
+  png_set_interlace_handling(png);
   png_read_update_info(png, info);
   size_t rowbytes = png_get_rowbytes(png, info);
   if (rowbytes < static_cast<size_t>(*w) * 3) {
@@ -169,12 +174,15 @@ bool decode_png(FILE* f, std::vector<uint8_t>* out, int* w, int* h) {
     return false;
   }
   out->resize(static_cast<size_t>(*w) * *h * 3);
-  std::vector<uint8_t> rowbuf(rowbytes);
-  for (int y = 0; y < *h; ++y) {
-    png_read_row(png, rowbuf.data(), nullptr);
-    std::memcpy(out->data() + static_cast<size_t>(y) * *w * 3, rowbuf.data(),
-                static_cast<size_t>(*w) * 3);
+  std::vector<uint8_t> img(rowbytes * *h);
+  {
+    std::vector<png_bytep> rows(*h);
+    for (int y = 0; y < *h; ++y) rows[y] = img.data() + rowbytes * y;
+    png_read_image(png, rows.data());
   }
+  for (int y = 0; y < *h; ++y)
+    std::memcpy(out->data() + static_cast<size_t>(y) * *w * 3,
+                img.data() + rowbytes * y, static_cast<size_t>(*w) * 3);
   png_destroy_read_struct(&png, &info, nullptr);
   return true;
 }
@@ -267,7 +275,7 @@ int irt_decode_resize_batch(const char** paths, int n, int th, int tw,
                             uint8_t* out, int num_threads) {
   std::shared_ptr<ThreadPool> tp = pool(num_threads);
   std::atomic<int> failures(0);
-  std::atomic<int> done(0);
+  int done = 0;  // guarded by mu
   std::mutex mu;
   std::condition_variable cv;
   const size_t stride = static_cast<size_t>(th) * tw * 3;
@@ -278,14 +286,16 @@ int irt_decode_resize_batch(const char** paths, int n, int th, int tw,
         std::memset(dst, 128, stride);
         failures.fetch_add(1);
       }
-      if (done.fetch_add(1) + 1 == n) {
-        std::lock_guard<std::mutex> lk(mu);
-        cv.notify_one();
-      }
+      // predicate update AND notify both under mu: if either happened
+      // outside the lock, the waiting caller could observe done == n,
+      // return, and destroy the stack-local mu/cv while this worker is
+      // still about to touch them (use-after-scope)
+      std::lock_guard<std::mutex> lk(mu);
+      if (++done == n) cv.notify_one();
     });
   }
   std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == n; });
+  cv.wait(lk, [&] { return done == n; });
   return failures.load();
 }
 

@@ -47,6 +47,17 @@ class TestCosineEmbeddingLoss:
             torch.from_numpy(x1), torch.from_numpy(x2), t))
         assert ours == pytest.approx(theirs, rel=1e-6, abs=1e-7)
 
+    @pytest.mark.parametrize("scale", [1e-4, 1e-5, 1e-6])
+    def test_small_norm_eps_matches_torch(self, scale):
+        """torch adds 1e-12 to each SQUARED norm (not a norm clamp): at
+        norm 1e-5 the loss of identical vectors is 0.0099, not 0 — the
+        regime of a near-dead head early in training."""
+        x = np.array([[scale, 0.0]], dtype=np.float32)
+        ours = float(losses.cosine_embedding_loss(x, x, 1.0))
+        theirs = float(torch.nn.functional.cosine_embedding_loss(
+            torch.from_numpy(x), torch.from_numpy(x), torch.tensor([1.0])))
+        assert ours == pytest.approx(theirs, rel=1e-4, abs=1e-7)
+
     def test_broadcast_scalar_target_like_reference(self, rng):
         # reference passes labels["pos"] = tensor(1.).unsqueeze(0)
         # (train/train.py:81) broadcast against the batch.

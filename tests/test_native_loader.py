@@ -56,6 +56,52 @@ class TestDecode:
             ["/nonexistent/x.jpg"], 16, 16)
         assert (out == 128).all()
 
+    def test_strict_raises_on_decode_failure(self, tree):
+        """The training loader decodes with strict=True so a failed decode
+        raises (parity with the PIL path's IOError) instead of silently
+        training on a gray-filled slot."""
+        with pytest.raises(IOError, match="failed to decode"):
+            native_loader.decode_resize_batch(["/nonexistent/x.jpg"], 16, 16,
+                                              strict=True)
+
+    def test_interlaced_png_decodes_correctly(self, tree, tmp_path):
+        """Adam7-interlaced PNGs (a common export option) must be
+        de-interlaced — plain row-by-row libpng reads return scrambled
+        interlace-pass rows that count as a successful decode. Pillow
+        cannot WRITE interlaced PNGs, so the file is hand-assembled."""
+        import struct
+        import zlib
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (48, 40, 3), dtype=np.uint8)
+        h, w = img.shape[:2]
+        # Adam7 pass grid: (x_start, y_start, x_step, y_step)
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+        raw = bytearray()
+        for xs, ys, xt, yt in passes:
+            sub = img[ys::yt, xs::xt]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for row in sub:
+                raw.append(0)                    # filter: None
+                raw.extend(row.tobytes())
+
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # RGB8, Adam7
+        p = str(tmp_path / "interlaced.png")
+        with open(p, "wb") as f:
+            f.write(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                    + chunk(b"IEND", b""))
+        with Image.open(p) as im:       # sanity: a real decoder agrees
+            np.testing.assert_array_equal(np.asarray(im.convert("RGB")), img)
+        out = native_loader.decode_resize_batch([p], h, w, strict=True)
+        np.testing.assert_array_equal(out[0], img)
+
 
 class TestLoaderIntegration:
     def test_native_batches_match_layout(self, tree):

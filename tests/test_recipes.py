@@ -47,7 +47,8 @@ class TestConfig:
         assert TrainConfig().loss_mode == "cos_ce"
         assert TrainConfig(only_target_labels=None).loss_mode == "cos_only"
         assert TrainConfig(only_feature_embeddings=None).loss_mode == "ce_only"
-        with pytest.raises(AssertionError):
+        # ValueError (not assert): must survive python -O
+        with pytest.raises(ValueError, match="at least one loss"):
             TrainConfig(only_feature_embeddings=None,
                         only_target_labels=None).loss_mode
 
