@@ -93,6 +93,7 @@ def build_triplet_index(
     pos_policy: str = "cat",
     neg_policy: str = "except_cat",
     label_walk: Sequence[str] | None = None,
+    label_files: Sequence[str] | None = None,
 ) -> TripletIndex:
     """Build the index. ``classify`` maps a *full path* to (cat, prod).
 
@@ -100,6 +101,12 @@ def build_triplet_index(
     first-seen enumeration (the reference walks ``sketch_lst + image_lst`` for
     Sketchy but images-then-sketches for Original); defaults to
     ``sketch_lst + image_lst``.
+
+    ``label_files`` (optional) restricts which walk files may INTRODUCE new
+    cat_idx/prod_idx entries: the Original layout freezes both dicts after
+    walking photos only (original_dataset.py:182-189, before the sketch
+    walk), so sketch-only categories/products must feed the candidate dicts
+    without growing the label space the classifier head is sized by.
     """
     if pos_policy not in POS_POLICIES:
         raise ValueError("positive policy must be one of [cat, prod]")
@@ -117,14 +124,18 @@ def build_triplet_index(
     cat_idx: dict[str, int] = {}
     prod_idx: dict[str, int] = {}
     walk = list(label_walk) if label_walk is not None else sketch_lst + image_lst
+    label_set = set(label_files) if label_files is not None else None
     for path in walk:
         cat, prod = classify(path)
-        if cat not in cat_idx:
-            cat_idx[cat] = len(cat_idx)
+        may_label = label_set is None or path in label_set
+        if cat not in cat_sketches:
             cat_sketches[cat] = []
-        if prod not in prod_idx:
-            prod_idx[prod] = len(prod_idx)
+        if prod not in prod_sketches:
             prod_sketches[prod] = []
+        if may_label and cat not in cat_idx:
+            cat_idx[cat] = len(cat_idx)
+        if may_label and prod not in prod_idx:
+            prod_idx[prod] = len(prod_idx)
         si = sketch_pos.get(path)
         if si is not None:
             cat_sketches[cat].append(si)

@@ -17,10 +17,7 @@ import glob
 import json
 import os
 
-import numpy as np
-from PIL import Image
-
-from imageretrievalresearch_tpu.data.decode import DecodeCacheMixin
+from imageretrievalresearch_tpu.data.decode import TripletImageMixin
 from imageretrievalresearch_tpu.data.index import TripletIndex, build_triplet_index
 
 
@@ -61,6 +58,31 @@ class OriginalDataset:
         image_lst = list(set(image_lst) - set(sketch_lst))
         image_lst = sorted(i for i in image_lst if os.path.isfile(i))
         sketch_lst = sorted(i for i in sketch_lst if os.path.isfile(i))
+        # skip stray files the recursive glob picks up (a split json from a
+        # previous data_split_original run, a root README): their paths
+        # don't carry <cat>/<prod_dir>/ and would IndexError in
+        # image_classify — same guard data_split_original applies
+        # (splits.py) to the identical scan
+        kept = []
+        skipped = 0
+        for p in image_lst:
+            parts = self.get_basepath(p).split("/")
+            if len(parts) < 2 or len(parts[1].split("_")) < 2:
+                skipped += 1
+                continue
+            kept.append(p)
+        image_lst = kept
+        kept = []
+        for p in sketch_lst:           # prod token lives in the filename
+            parts = self.get_basepath(p).split("/")
+            if len(parts) < 3 or len(parts[2].split("_")) < 2:
+                skipped += 1
+                continue
+            kept.append(p)
+        sketch_lst = kept
+        if skipped:
+            print(f"[OriginalDataset] skipped {skipped} file(s) not "
+                  "matching the <cat>/<prod_dir>/... layout")
 
         def classify(path: str) -> tuple[str, str]:
             if path in sketch_set:
@@ -68,10 +90,14 @@ class OriginalDataset:
             return self.image_classify(path)
 
         sketch_set = set(sketch_lst)
+        # label_files=image_lst: the reference freezes cat_idx/prod_idx
+        # after walking photos only (original_dataset.py:182-189) — sketches
+        # feed the candidate dicts but never grow the label space the
+        # classifier head is sized by
         self.index = build_triplet_index(
             image_lst, sketch_lst, classify,
             pos_policy=pos_policy, neg_policy=neg_policy,
-            label_walk=image_lst + sketch_lst)
+            label_walk=image_lst + sketch_lst, label_files=image_lst)
         self.cat_idx = self.index.cat_idx
         self.prod_idx = self.index.prod_idx
         self.sketch_lst = self.index.sketch_lst
@@ -113,34 +139,8 @@ class OriginalDataset:
         }
 
 
-class OriginalImageDataset(DecodeCacheMixin, OriginalDataset):
+class OriginalImageDataset(TripletImageMixin, OriginalDataset):
     """Image-level dataset (reference data/original_dataset.py:294-380)."""
 
-    def __init__(self, transform_dic: dict | None = None,
-                 pos_return_num: int = 1, neg_return_num: int = 1,
-                 load_images: bool = False, cache_size: int | None = None,
-                 seed: int = 0, **kwargs):
-        super().__init__(**kwargs)
-        self.transform_dic = transform_dic
-        self.pos_return_num, self.neg_return_num = pos_return_num, neg_return_num
-        self._rng = np.random.default_rng(seed)
-        self._init_decode_cache(load_images, cache_size)
-        if transform_dic:
-            self.qry_trans = transform_dic["qry"]
-            self.pos_trans = transform_dic["pos"]
-            self.neg_trans = transform_dic["neg"]
-
-    def __getitem__(self, idx: int, rng: np.random.Generator | None = None) -> dict:
-        assert self.index is not None
-        rng = rng or self._rng
-        s = self.index.sample(idx, rng, self.pos_return_num, self.neg_return_num)
-        qry = self._decode(s["qry"])
-        pos = [self._decode(p) for p in s["pos"]]
-        neg = [self._decode(p) for p in s["neg"]]
-        if self.transform_dic:
-            qry = self.qry_trans(qry)
-            pos = [self.pos_trans(i) for i in pos]
-            neg = [self.neg_trans(i) for i in neg]
-        return {"qry": qry, "pos": pos, "neg": neg,
-                "cat_idx": s["cat_idx"], "prod_idx": s["prod_idx"],
-                "paths": {"qry": s["qry"], "pos": s["pos"], "neg": s["neg"]}}
+    # construction, sampling, decode-cache, and transform handling live in
+    # the shared TripletImageMixin (data/decode.py)

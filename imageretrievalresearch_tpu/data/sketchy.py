@@ -18,10 +18,7 @@ import glob
 import json
 import os
 
-import numpy as np
-from PIL import Image
-
-from imageretrievalresearch_tpu.data.decode import DecodeCacheMixin
+from imageretrievalresearch_tpu.data.decode import TripletImageMixin
 from imageretrievalresearch_tpu.data.index import TripletIndex, build_triplet_index
 
 
@@ -126,7 +123,7 @@ class SketchyDataset:
         }
 
 
-class SketchyImageDataset(DecodeCacheMixin, SketchyDataset):
+class SketchyImageDataset(TripletImageMixin, SketchyDataset):
     """Image-level dataset (reference data/sketch_dataset.py:245-309).
 
     Differences from the reference, by design:
@@ -139,42 +136,5 @@ class SketchyImageDataset(DecodeCacheMixin, SketchyDataset):
       for reference-compatible usage.
     """
 
-    def __init__(self, transform_dic: dict | None = None,
-                 pos_return_num: int = 1, neg_return_num: int = 1,
-                 load_images: bool = False, cache_size: int | None = None,
-                 seed: int = 0, **kwargs):
-        if not kwargs.get("random", True):
-            # fail at construction: the materialized-json (random=False)
-            # image mode is unsupported here, and the eager decode cache
-            # below would otherwise spend minutes before __getitem__'s
-            # index assert fired
-            raise ValueError(
-                "SketchyImageDataset requires random=True indexing; the "
-                "materialized data_json mode is path-level only "
-                "(SketchyDataset)")
-        super().__init__(**kwargs)
-        self.transform_dic = transform_dic
-        self.pos_return_num, self.neg_return_num = pos_return_num, neg_return_num
-        self._rng = np.random.default_rng(seed)
-        # eager decode cache (sketch_dataset.py:268-270), optionally stored
-        # pre-resized (see data/decode.py)
-        self._init_decode_cache(load_images, cache_size)
-        if transform_dic:
-            self.qry_trans = transform_dic["qry"]
-            self.pos_trans = transform_dic["pos"]
-            self.neg_trans = transform_dic["neg"]
-
-    def __getitem__(self, idx: int, rng: np.random.Generator | None = None) -> dict:
-        assert self.index is not None, "image dataset requires random=True indexing"
-        rng = rng or self._rng
-        s = self.index.sample(idx, rng, self.pos_return_num, self.neg_return_num)
-        qry = self._decode(s["qry"])
-        pos = [self._decode(p) for p in s["pos"]]
-        neg = [self._decode(p) for p in s["neg"]]
-        if self.transform_dic:
-            qry = self.qry_trans(qry)
-            pos = [self.pos_trans(i) for i in pos]
-            neg = [self.neg_trans(i) for i in neg]
-        return {"qry": qry, "pos": pos, "neg": neg,
-                "cat_idx": s["cat_idx"], "prod_idx": s["prod_idx"],
-                "paths": {"qry": s["qry"], "pos": s["pos"], "neg": s["neg"]}}
+    # construction, sampling, decode-cache, and transform handling live in
+    # the shared TripletImageMixin (data/decode.py)

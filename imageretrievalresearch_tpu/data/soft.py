@@ -16,10 +16,7 @@ import glob
 import json
 import os
 
-import numpy as np
-from PIL import Image
-
-from imageretrievalresearch_tpu.data.decode import DecodeCacheMixin
+from imageretrievalresearch_tpu.data.decode import TripletImageMixin
 from imageretrievalresearch_tpu.data.index import TripletIndex, build_triplet_index
 
 
@@ -60,6 +57,28 @@ class TripletDataset:
                                recursive=True)
         image_lst = sorted(i for i in image_lst if os.path.isfile(i))
         sketch_lst = sorted(i for i in sketch_lst if os.path.isfile(i))
+        # skip files classify cannot parse (a stray file directly under
+        # real//sketch/, or a stem without the <name>_<prod>_ underscore):
+        # they would IndexError the whole index build — same guard
+        # data_split_soft applies to the identical scan (splits.py)
+        skipped = 0
+
+        def parseable(paths):
+            nonlocal skipped
+            kept = []
+            for p in paths:
+                parts = self.get_basepath(p).split("/")
+                if (len(parts) < 3 or len(
+                        os.path.splitext(parts[2])[0].split("_")) < 2):
+                    skipped += 1
+                    continue
+                kept.append(p)
+            return kept
+
+        image_lst, sketch_lst = parseable(image_lst), parseable(sketch_lst)
+        if skipped:
+            print(f"[TripletDataset] skipped {skipped} file(s) not matching "
+                  "the real|sketch/<cat>/<name>_<prod>_... layout")
 
         self.index = build_triplet_index(
             image_lst, sketch_lst, self._classify_full,
@@ -108,34 +127,8 @@ class TripletDataset:
         }
 
 
-class TripletImageDataset(DecodeCacheMixin, TripletDataset):
+class TripletImageDataset(TripletImageMixin, TripletDataset):
     """Image-level dataset (reference data/softdataset.py:159-200)."""
 
-    def __init__(self, transform_dic: dict | None = None,
-                 pos_return_num: int = 1, neg_return_num: int = 1,
-                 load_images: bool = False, cache_size: int | None = None,
-                 seed: int = 0, **kwargs):
-        super().__init__(**kwargs)
-        self.transform_dic = transform_dic
-        self.pos_return_num, self.neg_return_num = pos_return_num, neg_return_num
-        self._rng = np.random.default_rng(seed)
-        self._init_decode_cache(load_images, cache_size)
-        if transform_dic:
-            self.qry_trans = transform_dic["qry"]
-            self.pos_trans = transform_dic["pos"]
-            self.neg_trans = transform_dic["neg"]
-
-    def __getitem__(self, idx: int, rng: np.random.Generator | None = None) -> dict:
-        assert self.index is not None
-        rng = rng or self._rng
-        s = self.index.sample(idx, rng, self.pos_return_num, self.neg_return_num)
-        qry = self._decode(s["qry"])
-        pos = [self._decode(p) for p in s["pos"]]
-        neg = [self._decode(p) for p in s["neg"]]
-        if self.transform_dic:
-            qry = self.qry_trans(qry)
-            pos = [self.pos_trans(i) for i in pos]
-            neg = [self.neg_trans(i) for i in neg]
-        return {"qry": qry, "pos": pos, "neg": neg,
-                "cat_idx": s["cat_idx"], "prod_idx": s["prod_idx"],
-                "paths": {"qry": s["qry"], "pos": s["pos"], "neg": s["neg"]}}
+    # construction, sampling, decode-cache, and transform handling live in
+    # the shared TripletImageMixin (data/decode.py)

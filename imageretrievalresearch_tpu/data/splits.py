@@ -89,7 +89,10 @@ def _split_buckets(dic: dict[str, list[str]], split: list[float],
 
     if hard_split:
         keys = list(dic.keys())
-        train_essential = list(set(keys) & set(train_essential))
+        # sorted: set-intersection iteration order is hash-randomization-
+        # dependent per process, which would break the seeded byte-identical
+        # reproducibility this module promises
+        train_essential = sorted(set(keys) & set(train_essential))
         keys = list(set(keys) - set(train_essential))
         keys.sort()  # set() order is unstable; sort before shuffling for determinism
         rng.shuffle(keys)
@@ -145,7 +148,10 @@ def data_split_sketchy(data_dir: str, out_path: str, policy: str = "cat",
     prod = basename before '-' with '.jpg' stripped (:47).
     """
     split = split or [0.8, 0.1, 0.1]
-    assert abs(sum(split) - 1) < 1e-9, "sum of split should be 1"
+    if abs(sum(split) - 1) >= 1e-9:
+        # a raise, not assert: python -O would strip it and the slice
+        # arithmetic would silently produce overlapping/short partitions
+        raise ValueError("sum of split should be 1")
     rng = _random.Random(seed)
     train_essential = _read_train_essentials(train_essentials)
 
@@ -181,7 +187,10 @@ def data_split_original(data_dir: str, out_path: str, policy: str = "prod",
     component's ``split('_')[-2]`` (:64).
     """
     split = split or [0.8, 0.1, 0.1]
-    assert abs(sum(split) - 1) < 1e-9, "sum of split should be 1"
+    if abs(sum(split) - 1) >= 1e-9:
+        # a raise, not assert: python -O would strip it and the slice
+        # arithmetic would silently produce overlapping/short partitions
+        raise ValueError("sum of split should be 1")
     rng = _random.Random(seed)
     train_essential = _read_train_essentials(train_essentials)
 
@@ -231,7 +240,10 @@ def data_split_soft(data_dir: str, out_path: str, policy: str = "prod",
     ``idx`` is the *cumulative* val+test length — preserved here.
     """
     split = split or [0.8, 0.1, 0.1]
-    assert abs(sum(split) - 1) < 1e-9, "sum of split should be 1"
+    if abs(sum(split) - 1) >= 1e-9:
+        # a raise, not assert: python -O would strip it and the slice
+        # arithmetic would silently produce overlapping/short partitions
+        raise ValueError("sum of split should be 1")
     rng = _random.Random(seed)
 
     lst = glob.glob(os.path.join(data_dir, "real/**/*"), recursive=True)
@@ -246,7 +258,9 @@ def data_split_soft(data_dir: str, out_path: str, policy: str = "prod",
         basepath = strip_root(i, data_dir)
         parts = basepath.split("/")
         if policy == "cat":
-            if len(parts) < 2:        # stray file directly under real/
+            # a stray file directly under real/ has parts
+            # ['real', '<file>'] — its filename must not become a category
+            if len(parts) < 3:
                 skipped += 1
                 continue
             pol = parts[1]

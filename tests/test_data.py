@@ -17,6 +17,8 @@ from imageretrievalresearch_tpu.data import (
     data_split_sketchy,
     data_split_soft,
 )
+from imageretrievalresearch_tpu.data.original import OriginalDataset
+from imageretrievalresearch_tpu.data.soft import TripletDataset
 from imageretrievalresearch_tpu.data.synthetic import (
     make_classfolder_tree,
     make_original_tree,
@@ -213,6 +215,61 @@ class TestImageDatasets:
                                  neg_policy="except_cat")
         item = ds[0]
         assert item["qry"].shape == (64, 64, 3)
+
+    def test_original_dataset_skips_stray_files(self, tmp_path):
+        """Construction (not just data_split) must survive the recursive
+        glob picking up a previous split json / root README — the same
+        guard data_split_original carries."""
+        from imageretrievalresearch_tpu.data.splits import data_split_original
+
+        root = make_original_tree(str(tmp_path / "o"))
+        data_split_original(root, os.path.join(root, "split.json"),
+                            policy="prod", hard_split=False)
+        with open(os.path.join(root, "README.txt"), "w") as f:
+            f.write("stray")
+        ds = OriginalDataset(data_dir=root)
+        assert len(ds) > 0
+        assert all("README" not in p and "split.json" not in p
+                   for p in ds.image_lst)
+
+    def test_original_labels_enumerate_photos_only(self, tmp_path):
+        """cat_idx/prod_idx freeze after the photo walk (reference
+        original_dataset.py:182-189): a sketch-only category must feed the
+        candidate dicts but not grow the label space the classifier head
+        is sized by."""
+        root = make_original_tree(str(tmp_path / "o2"))
+        n_cats = OriginalDataset(data_dir=root).get_cat_length()
+        # add a category with ONLY pdf_detail sketches (no photos)
+        extra = os.path.join(root, "zonly", "pdf_detail")
+        os.makedirs(extra)
+        from PIL import Image as _I
+        _I.new("RGB", (64, 64), (1, 2, 3)).save(
+            os.path.join(extra, "x_77_0.png"))
+        ds = OriginalDataset(data_dir=root)
+        assert ds.get_cat_length() == n_cats
+        assert "zonly" not in ds.cat_idx
+
+    def test_soft_dataset_skips_unparseable_files(self, tmp_path):
+        root = make_soft_tree(str(tmp_path / "s2"))
+        baseline = len(TripletDataset(data_dir=root).image_lst)
+        from PIL import Image as _I
+        # stray file directly under real/ and an underscore-less stem
+        _I.new("RGB", (64, 64)).save(os.path.join(root, "real", "stray.jpg"))
+        cat = next(d for d in os.listdir(os.path.join(root, "real"))
+                   if os.path.isdir(os.path.join(root, "real", d)))
+        _I.new("RGB", (64, 64)).save(
+            os.path.join(root, "real", cat, "nounderscore.jpg"))
+        ds = TripletDataset(data_dir=root)
+        assert len(ds.image_lst) == baseline     # both skipped, no crash
+
+    def test_image_mode_rejects_random_false_everywhere(self, tmp_path):
+        """The random=True construction guard lives in the shared mixin, so
+        all three families fail fast instead of after minutes of eager
+        decoding (previously only SketchyImageDataset had it)."""
+        for cls in (SketchyImageDataset, OriginalImageDataset,
+                    TripletImageDataset):
+            with pytest.raises(ValueError, match="random=True"):
+                cls(data_dir=str(tmp_path), random=False, data_json="x")
 
     def test_triple_dataset(self, tmp_path):
         photo_root, sketch_root = make_classfolder_tree(str(tmp_path / "cf"))
