@@ -24,7 +24,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-mn", "--model_name", type=str, default="rexnet_150")
     p.add_argument("-is", "--input_size", type=int, default=224)
     p.add_argument("-bs", "--batch_size", type=int, default=256)
-    p.add_argument("-d", "--device", type=str, default="tpu")
+    p.add_argument("-d", "--device", type=str, default="tpu",
+                   help="Device (informational; JAX selects the backend)")
     p.add_argument("-c", "--cache",
                    type=lambda v: bool(_bool_or_none(v)),
                    default=True, help="Preload/decode-cache images")

@@ -56,8 +56,12 @@ def inbatch_topk(fm_qry: jax.Array, fm_pos: jax.Array, classes: jax.Array,
     (train/train.py:259-260). ``classes`` is the per-sample ``cat_idx``.
     """
     sims = cosine_sim_matrix(fm_qry, fm_pos)
-    _, inds = jax.lax.top_k(sims, k)                     # (B, k)
-    retrieved = classes[inds]                            # (B, k)
+    # clamp: a drop_last=False final batch can be smaller than k, and
+    # lax.top_k raises on k > row length; the metric KEY keeps the
+    # requested k so the logged series stays consistent
+    k_eff = min(k, sims.shape[-1])
+    _, inds = jax.lax.top_k(sims, k_eff)                 # (B, k_eff)
+    retrieved = classes[inds]                            # (B, k_eff)
     match = retrieved == classes[:, None]
     top_k = jnp.mean(jnp.any(match, axis=1).astype(jnp.float32))
     top_1 = jnp.mean(match[:, 0].astype(jnp.float32))
@@ -87,7 +91,7 @@ def gallery_topk_index_match(sims: jax.Array, *, ks: tuple[int, ...] = (1, 3)
     """
     n = sims.shape[0]
     out = {}
-    kmax = max(ks)
+    kmax = min(max(ks), sims.shape[-1])   # clamp: tiny final eval batches
     _, inds = jax.lax.top_k(sims, kmax)                  # (Q, kmax)
     qidx = jnp.arange(n)[:, None]
     hit = inds == qidx                                   # (Q, kmax)

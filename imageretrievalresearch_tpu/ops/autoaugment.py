@@ -92,11 +92,8 @@ def _magnitude_table() -> np.ndarray:
 
 
 _MAGS = _magnitude_table()
-# per-op: does the magnitude get a random sign?
-_SIGNED = np.zeros(_NUM_OPS, dtype=np.float32)
-for _op in (SHEAR_X, SHEAR_Y, TRANSLATE_X, TRANSLATE_Y, ROTATE,
-            COLOR, CONTRAST, SHARPNESS, BRIGHTNESS):
-    _SIGNED[_op] = 1.0
+# (which ops take a random magnitude sign is encoded once, by the
+# _GEO_OPS/_ENH_OPS grouping consulted in _apply_stage)
 
 
 def _policy_arrays() -> tuple[np.ndarray, ...]:
@@ -119,15 +116,6 @@ _POLICY_OPS, _POLICY_PROBS, _POLICY_MAGS = _policy_arrays()
 # pointwise / LUT ops (uint8-exact vs PIL)
 # ---------------------------------------------------------------------------
 
-def _apply_lut(img: jax.Array, lut: jax.Array) -> jax.Array:
-    """img (H,W,3) uint8, lut (3,256) or (256,) -> uint8."""
-    if lut.ndim == 1:
-        return lut[img.astype(jnp.int32)].astype(jnp.uint8)
-    gathered = jnp.take_along_axis(
-        lut.T[None], img.astype(jnp.int32), axis=-1)  # lut.T (256,3)
-    return gathered.astype(jnp.uint8)
-
-
 def op_invert(img, mag):
     return (255 - img.astype(jnp.int32)).astype(jnp.uint8)
 
@@ -149,48 +137,25 @@ def _channel_hist(chan: jax.Array) -> jax.Array:
 
 
 def op_equalize(img, mag):
-    """PIL ImageOps.equalize integer algorithm, per channel."""
-
-    def eq_channel(chan):
-        h = _channel_hist(chan)
-        nz = h > 0
-        # histo[-1] = count of the highest nonzero bin
-        last_nz = 255 - jnp.argmax(nz[::-1])
-        h_last = h[last_nz]
-        total = jnp.sum(h)
-        step = (total - h_last) // 255
-        # lut[i] = (step//2 + sum_{j<i} h[j]) // step
-        csum = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                jnp.cumsum(h)[:-1]])
-        lut = jnp.where(step > 0,
-                        jnp.clip((step // 2 + csum) // jnp.maximum(step, 1),
-                                 0, 255),
-                        jnp.arange(256))
-        return lut[chan.astype(jnp.int32)]
-
-    out = jnp.stack([eq_channel(img[..., c]) for c in range(3)], axis=-1)
-    return out.astype(jnp.uint8)
+    """PIL ImageOps.equalize integer algorithm, per channel — delegates to
+    the SAME LUT math the batched path uses (:func:`_equalize_lut`), so the
+    single-image parity surface and _apply_stage's batched route cannot
+    drift apart."""
+    planes = img.astype(jnp.int32).transpose(2, 0, 1)        # (3, H, W)
+    lut = _equalize_lut(jax.vmap(_channel_hist)(planes))
+    out = jax.vmap(lambda f, l: l[f])(planes, lut)
+    return out.transpose(1, 2, 0).astype(jnp.uint8)
 
 
 def op_autocontrast(img, mag):
-    """PIL ImageOps.autocontrast (cutoff 0), per channel."""
-
-    def ac_channel(chan):
-        v = chan.astype(jnp.int32)
-        lo = jnp.min(v)
-        hi = jnp.max(v)
-        # integer form of int(ix*scale + offset): (ix-lo)*255 // (hi-lo);
-        # matches PIL's float64 math to >=99.8% of LUT entries (+-1 LSB on
-        # the rest -- PIL's two-step f64 rounding is not reproducible in f32)
-        num = (jnp.arange(256) - lo) * 255
-        den = jnp.maximum(hi - lo, 1)
-        lut = jnp.clip(jnp.where(num >= 0, num // den,
-                                 -((-num) // den)), 0, 255)
-        lut = jnp.where(hi > lo, lut, jnp.arange(256))
-        return lut[v]
-
-    out = jnp.stack([ac_channel(img[..., c]) for c in range(3)], axis=-1)
-    return out.astype(jnp.uint8)
+    """PIL ImageOps.autocontrast (cutoff 0), per channel — delegates to
+    :func:`_autocontrast_lut` (one copy of the integer LUT arithmetic,
+    shared with the batched path)."""
+    planes = img.astype(jnp.int32).transpose(2, 0, 1)        # (3, H, W)
+    lut = _autocontrast_lut(jnp.min(planes, axis=(1, 2)),
+                            jnp.max(planes, axis=(1, 2)))
+    out = jax.vmap(lambda f, l: l[f])(planes, lut)
+    return out.transpose(1, 2, 0).astype(jnp.uint8)
 
 
 # ---------------------------------------------------------------------------

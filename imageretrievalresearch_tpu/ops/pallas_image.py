@@ -138,12 +138,13 @@ def pallas_row_shift(rows: jax.Array, shifts: jax.Array, *, smax: int,
 
 
 def _cubic_w(s):
-    """PIL geometry bicubic kernel (a = -1.0), same as autoaugment's."""
-    a = -1.0
-    s = jnp.abs(s)
-    return jnp.where(
-        s < 1.0, ((a + 2) * s - (a + 3)) * s * s + 1,
-        jnp.where(s < 2.0, (((s - 5) * s + 8) * s - 4) * a, 0.0))
+    # ONE bicubic kernel for both shear paths: the Pallas row-shift and
+    # the XLA shear must interpolate identically or their documented
+    # within-±1 parity breaks. Imported lazily: autoaugment imports this
+    # module inside functions, so a top-level import here would load it
+    # eagerly for every pallas_image consumer.
+    from imageretrievalresearch_tpu.ops.autoaugment import _cubic_kernel
+    return _cubic_kernel(s)
 
 
 def _row_shift_cubic_kernel(rows_ref, base_ref, frac_ref, out_ref, *,

@@ -17,7 +17,11 @@ def _to_uint8(im: np.ndarray) -> np.ndarray:
     im = np.asarray(im)
     if im.dtype == np.uint8:
         return im
-    if im.max() <= 1.0 + 1e-6:
+    # float input: treat anything that LOOKS unit-ranged as [0, 1] — the
+    # threshold is generous (2.0) because resize overshoot / normalize
+    # wobble pushes unit-range data slightly past 1.0, and clipping such
+    # an image against 255 would render a near-black panel
+    if np.issubdtype(im.dtype, np.floating) and float(im.max()) <= 2.0:
         im = im * 255.0
     return np.clip(im, 0, 255).astype(np.uint8)
 
@@ -46,6 +50,9 @@ def retrieval_grid(results: dict, idx_to_clss: dict[int, str],
 
     paths = []
     n = min(num_queries, len(ims))
+    # the dedup arrays carry only num_unique columns; asking for more
+    # retrieved panels than exist must not IndexError mid-render
+    num_retrieved = min(num_retrieved, topk_inds.shape[1])
     for i in range(n):
         cols = 2 + num_retrieved + (1 if cams is not None else 0)
         fig, axes = plt.subplots(1, cols, figsize=(2.2 * cols, 2.6))

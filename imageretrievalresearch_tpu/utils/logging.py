@@ -37,7 +37,10 @@ class MetricLogger:
 
     def log(self, metrics: dict[str, Any], step: int,
             *, force: bool = False) -> None:
-        if not force and step % self.log_every_n_steps != 0:
+        if not force and (self.log_every_n_steps <= 0
+                          or step % self.log_every_n_steps != 0):
+            # <= 0 disables periodic logging (forced epoch-end logs still
+            # land) instead of ZeroDivisionError on the first step
             return
         payload = {k: float(v) for k, v in metrics.items()}
         payload["step"] = step

@@ -47,6 +47,19 @@ class TestInBatchTopk:
         assert float(ours["top1"]) == 1.0
         assert float(ours["top3"]) == 1.0
 
+    def test_batch_smaller_than_k(self, rng):
+        """A drop_last=False final eval batch can have fewer than k
+        samples; lax.top_k must be clamped (the metric KEY keeps k so the
+        logged series name stays stable)."""
+        fm = rng.normal(size=(2, 8)).astype(np.float32)
+        out = metrics.inbatch_topk(fm, fm, np.arange(2), k=3)
+        assert set(out) == {"top1", "top3"}
+        assert float(out["top3"]) == 1.0
+        out2 = metrics.gallery_topk_index_match(
+            metrics.cosine_sim_matrix(fm, fm))
+        assert set(out2) == {"top1", "top3"}
+        assert float(out2["top1"]) == 1.0
+
 
 class TestPairwiseStats:
     def test_matches_torch(self, rng):
