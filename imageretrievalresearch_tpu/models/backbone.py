@@ -91,13 +91,24 @@ class Backbone:
     def forward_features(self, variables: dict, x: jax.Array,
                          train: bool = False, rngs: dict | None = None,
                          mutable: bool = False):
-        """Returns fm, or (fm, updated_net_vars) when ``mutable`` (BN stats)."""
+        """Returns fm, or (fm, updated_net_vars) when ``mutable`` (BN stats).
+
+        ``train=True`` with ``mutable=False`` runs BN in batch mode and
+        DISCARDS the running-stat updates (flax would otherwise raise
+        ModifyScopeVariableError on every BatchNorm backbone) — use
+        ``mutable=True`` (or :meth:`features_and_logits`) when the updated
+        stats matter, i.e. in a real training step."""
         x = self._stem_apply(variables, x)
         if mutable:
             fm, updates = self.net.apply(
                 variables["net"], x, train, method="forward_features",
                 rngs=rngs, mutable=["batch_stats"])
             return fm, updates
+        if train and "batch_stats" in variables["net"]:
+            fm, _ = self.net.apply(
+                variables["net"], x, train, method="forward_features",
+                rngs=rngs, mutable=["batch_stats"])
+            return fm
         return self.net.apply(variables["net"], x, train,
                               method="forward_features", rngs=rngs)
 

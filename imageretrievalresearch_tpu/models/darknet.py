@@ -22,6 +22,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from imageretrievalresearch_tpu.ops.pooling import get_fm
 from imageretrievalresearch_tpu.models.layers import make_divisible, torch_pad
 
 _LEAKY_SLOPE = 0.1  # canonical darknet activation
@@ -86,7 +87,7 @@ class DarkNet(nn.Module):
 
     @nn.compact_name_scope
     def head(self, fm, train: bool = False):
-        x = jnp.mean(fm, axis=(1, 2)) if fm.ndim == 4 else fm
+        x = get_fm(fm)
         if self.num_classes <= 0:
             return x
         return nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)

@@ -10,7 +10,7 @@ BN eps 1e-5):
 
   conv_stem(3x3,s2) -> bn -> SiLU
   7 MBConv stages: k [3,3,5,3,5,5,3], c [16,24,40,80,112,192,320],
-                   r [1,2,2,3,3,4,5], s [1,2,2,2,1,2,1], expand [1,6,...,6]
+                   r [1,2,2,3,3,4,1], s [1,2,2,2,1,2,1], expand [1,6,...,6]
   conv_head(1x1 -> 1280*w) -> bn -> SiLU        == forward_features output
   head: global-pool -> dropout -> Linear        == model.classifier
 
@@ -25,6 +25,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from imageretrievalresearch_tpu.ops.pooling import get_fm
 from imageretrievalresearch_tpu.models.layers import (
     ConvBnAct,
     DropPath,
@@ -41,7 +42,11 @@ _B0_STAGES = (
     (3, 80, 3, 2, 6),
     (5, 112, 3, 1, 6),
     (5, 192, 4, 2, 6),
-    (3, 320, 5, 1, 6),
+    # final stage: ONE repeat (paper Table 1 / timm ir_r1_k3_s1_e6_c320 —
+    # B0 is 16 blocks total; 5 here would hand b3a seven 320-channel
+    # blocks where timm has two, and emit converter keys blocks.6.1+ that
+    # no real timm checkpoint contains)
+    (3, 320, 1, 1, 6),
 )
 
 
@@ -118,7 +123,7 @@ class EfficientNet(nn.Module):
     @nn.compact_name_scope
     def head(self, fm, train: bool = False):
         """Pool + dropout + Linear. Accepts 4D maps or pre-pooled (B, C)."""
-        x = jnp.mean(fm, axis=(1, 2)) if fm.ndim == 4 else fm
+        x = get_fm(fm)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
         if self.num_classes <= 0:

@@ -16,6 +16,7 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from imageretrievalresearch_tpu.ops.pooling import get_fm
 from imageretrievalresearch_tpu.models.layers import torch_pad
 
 
@@ -85,7 +86,7 @@ class ResNet(nn.Module):
 
     @nn.compact_name_scope
     def head(self, fm, train: bool = False):
-        x = jnp.mean(fm, axis=(1, 2)) if fm.ndim == 4 else fm
+        x = get_fm(fm)
         if self.num_classes <= 0:
             return x
         return nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)

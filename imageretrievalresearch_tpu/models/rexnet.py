@@ -24,6 +24,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from imageretrievalresearch_tpu.ops.pooling import get_fm
 from imageretrievalresearch_tpu.models.layers import (
     ConvBnAct,
     SqueezeExcite,
@@ -46,7 +47,10 @@ def rexnet_block_cfg(width_mult: float = 1.0, depth_mult: float = 1.0,
     for _ in range(depth):
         out_chs_list.append(make_divisible(round(base_chs * width_mult),
                                            divisor=ch_div))
-        base_chs += (final_chs - initial_chs) / depth
+        # timm/official ramp: += final_chs/depth (NOT (final-initial)/depth)
+        # — the well-known 16,27,38,...,174,185 progression for rexnet_100;
+        # real published checkpoints shape-match only with this rule
+        base_chs += final_chs / depth
     se_ratios = [0.0] * (layers[0] + layers[1]) + [se_ratio] * sum(layers[2:])
     return list(zip(out_chs_list, exp_ratios, strides, se_ratios))
 
@@ -123,7 +127,7 @@ class RexNet(nn.Module):
     def head(self, fm, train: bool = False):
         """ClassifierHead parity: accepts the 4D map (pool inside, like
         timm's model.head at train/train.py:195) or pre-pooled features."""
-        x = jnp.mean(fm, axis=(1, 2)) if fm.ndim == 4 else fm
+        x = get_fm(fm)
         if self.drop_rate > 0:
             x = nn.Dropout(self.drop_rate, deterministic=not train)(x)
         if self.num_classes <= 0:

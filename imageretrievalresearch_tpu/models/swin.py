@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from imageretrievalresearch_tpu.models.layers import DropPath
+from imageretrievalresearch_tpu.ops.pooling import get_fm
 
 
 def _rel_pos_index(ws: int) -> np.ndarray:
@@ -228,7 +229,7 @@ class SwinTransformer(nn.Module):
 
     @nn.compact_name_scope
     def head(self, fm, train: bool = False):
-        x = jnp.mean(fm, axis=1) if fm.ndim == 3 else fm
+        x = get_fm(fm)     # (B, L, C) token mean — shared pooling helper
         if self.num_classes <= 0:
             return x
         return nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)

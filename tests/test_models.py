@@ -34,15 +34,33 @@ class TestRexNetConfig:
         cfg = rexnet_block_cfg(width_mult=1.0)
         assert len(cfg) == 16
         out_chs = [c for c, _, _, _ in cfg]
-        # linear ramp: block i = round(16 + i * (180-16)/16) -> last = 170
-        assert out_chs[0] == 16 and out_chs[-1] == 170
-        assert all(b > a for a, b in zip(out_chs, out_chs[1:]))
+        # timm ramp: block i = round(16 + i * 180/16) — the published
+        # rexnet_100 progression 16, 27, 38, ..., 174, 185
+        assert out_chs == [16, 27, 38, 50, 61, 72, 84, 95, 106, 117, 128,
+                           140, 151, 162, 174, 185]
         strides = [s for _, _, s, _ in cfg]
         assert strides.count(2) == 4
         exps = [e for _, e, _, _ in cfg]
         assert exps[0] == 1 and set(exps[1:]) == {6}
         ses = [se for _, _, _, se in cfg]
         assert ses[0] == 0.0 and ses[-1] > 0
+
+
+class TestTrainModeForward:
+    def test_train_true_without_mutable_runs_on_bn_backbone(self, rng):
+        """The public __call__/embed surface with train=True must not hit
+        flax's ModifyScopeVariableError on BatchNorm backbones — batch-mode
+        BN runs and the running-stat updates are discarded (capture them
+        via features_and_logits(mutable=True))."""
+        bb = _tiny("efficientnet_b0")
+        x = jnp.asarray(rng.random((2, 64, 64, 3)), dtype=jnp.float32)
+        variables = bb.init(jax.random.key(0), x)
+        out = bb(variables, x, train=True,
+                 rngs={"dropout": jax.random.key(1)})
+        assert np.isfinite(np.asarray(out)).all()
+        emb = bb.embed(variables, x, train=True,
+                       rngs={"dropout": jax.random.key(1)})
+        assert emb.shape == (2, bb.num_features)
 
 
 class TestCNNBackbones:
