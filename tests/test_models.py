@@ -46,6 +46,49 @@ class TestRexNetConfig:
         assert ses[0] == 0.0 and ses[-1] > 0
 
 
+class TestEfficientNetConfig:
+    """Literal pins of the published timm efficientnet_b3(a) architecture.
+
+    The round-3 bug (final stage carried 5 base repeats instead of 1) hid
+    because converters/replicas/tests all derived from the same
+    `_B0_STAGES` table and stayed self-consistently green. These assert
+    against HARDCODED published values (timm Table-1 scaling of B0:
+    repeats ceil(1.4*r), channels round_channels(c*1.2)) so a table
+    regression cannot self-certify again."""
+
+    # efficientnet_b3: 26 blocks over 7 stages (timm block_args for b3)
+    B3_REPEATS = (2, 3, 3, 5, 5, 6, 2)
+    B3_CHANNELS = (24, 32, 48, 96, 136, 232, 384)
+    B0_REPEATS = (1, 2, 2, 3, 3, 4, 1)
+    B0_CHANNELS = (16, 24, 40, 80, 112, 192, 320)
+
+    @pytest.mark.parametrize("name,repeats,channels,stem,head", [
+        ("efficientnet_b3a", B3_REPEATS, B3_CHANNELS, 40, 1536),
+        ("efficientnet_b0", B0_REPEATS, B0_CHANNELS, 32, 1280),
+    ])
+    def test_stage_structure_matches_timm(self, name, repeats, channels,
+                                          stem, head):
+        bb = create_model(name, num_classes=7)
+        shapes = jax.eval_shape(
+            lambda r, x: bb.net.init(r, x, False), jax.random.PRNGKey(0),
+            jnp.zeros((1, 32, 32, 3), jnp.float32))
+        params = shapes["params"]
+        block_keys = sorted(k for k in params if k.startswith("blocks_"))
+        expected = sorted(f"blocks_{s}_{i}"
+                          for s, r in enumerate(repeats) for i in range(r))
+        assert block_keys == expected, (
+            f"{name}: got {len(block_keys)} blocks, want {len(expected)}")
+        for s, out in enumerate(channels):
+            # conv_pwl is the projection conv; its kernel's last dim is the
+            # stage output width
+            last = params[f"blocks_{s}_{repeats[s] - 1}"]
+            got = last["conv_pwl"]["conv"]["kernel"].shape[-1]
+            assert got == out, (
+                f"{name} stage {s}: width {got} != published {out}")
+        assert params["conv_stem"]["conv"]["kernel"].shape[-1] == stem
+        assert params["conv_head"]["conv"]["kernel"].shape[-1] == head
+
+
 class TestTrainModeForward:
     def test_train_true_without_mutable_runs_on_bn_backbone(self, rng):
         """The public __call__/embed surface with train=True must not hit
