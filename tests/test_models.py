@@ -72,7 +72,7 @@ class TestEfficientNetConfig:
         shapes = jax.eval_shape(
             lambda r, x: bb.net.init(r, x, False), jax.random.PRNGKey(0),
             jnp.zeros((1, 32, 32, 3), jnp.float32))
-        params = shapes["params"]
+        params = shapes["params"]["forward_features"]
         block_keys = sorted(k for k in params if k.startswith("blocks_"))
         expected = sorted(f"blocks_{s}_{i}"
                           for s, r in enumerate(repeats) for i in range(r))
