@@ -33,6 +33,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="prepend the 3x3 conv + SiLU stem "
                         "(inference.py:101-105)")
     p.add_argument("--split_json", type=str, default=None)
+    p.add_argument("--num_classes", type=int, default=None,
+                   help="classifier-head size to build the model with "
+                        "(default: the dataset's category count). Set to "
+                        "the training-time class count (125 for the "
+                        "published Sketchy checkpoints) when evaluating a "
+                        "checkpoint on a different image tree — retrieval "
+                        "uses embeddings only, so the head size need not "
+                        "match the query data")
     p.add_argument("--topk_variant", type=str, default="class_dedup",
                    choices=["class_dedup", "index_match"])
     p.add_argument("--transform", type=str, default="squarepad",
@@ -115,7 +123,9 @@ def run(args: argparse.Namespace) -> None:
     dl = TripletLoader(ds, args.batch_size, shuffle=False, drop_last=False,
                        num_workers=8, host_size=host_size)
 
-    backbone = create_model(args.model_name, num_classes=num_classes,
+    head_classes = (args.num_classes if args.num_classes is not None
+                    else num_classes)
+    backbone = create_model(args.model_name, num_classes=head_classes,
                             conv_input=args.conv_input)
     variables = load_checkpoint(args.checkpoint_path, backbone,
                                 sample_shape=(1, args.input_size,
@@ -136,7 +146,7 @@ def run(args: argparse.Namespace) -> None:
                                  "input_size": args.input_size,
                                  # the gallery CLI must rebuild the SAME
                                  # architecture to load the checkpoint
-                                 "num_classes": num_classes,
+                                 "num_classes": head_classes,
                                  "conv_input": bool(args.conv_input)})
         gal.add(embeds["fms_poss_all"], embeds["classes_all"])
         gal.save(args.save_gallery, store_dtype=args.gallery_dtype)
