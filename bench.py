@@ -31,6 +31,15 @@ K = 150
 REF_MIN_QUERIES = 8    # reference loop: at least this many queries...
 REF_MIN_SECONDS = 20.0  # ...and at least this much wall clock (noise floor)
 
+# Canonical baseline denominator (BASELINE.md "Canonical CPU baseline"):
+# the reference eager loop measured ONCE under the fixed protocol — 90 s
+# window, quiesced 1-core host, 2026-08-19 — so vs_baseline is comparable
+# across rounds. The live in-process measurement is still reported
+# (reference_cpu_qps_live / vs_baseline_live) but no longer sets the
+# headline ratio: it swung 0.92 / 0.98 / 0.30 across rounds 1-3 purely
+# with host contention (VERDICT r3 weak #2).
+REFERENCE_CPU_QPS_CANONICAL = 0.93
+
 
 def _wait_for_device(attempts: int = 3, probe_timeout: float = 150.0) -> bool:
     """Return True once device enumeration works; never hang this process.
@@ -190,6 +199,51 @@ def bench_embed_throughput(batch: int = 256) -> float:
     return batch * n_iter / min(times)
 
 
+def bench_gallery_1m_int8() -> float:
+    """Capacity metric: exact int8 retrieval qps on a 1,000,000 x 1536
+    gallery (~1.5 GB codes resident on chip). Embeddings are generated and
+    quantized ON DEVICE: the GalleryIndex host path costs ~12 min of
+    host->device upload on this ~2 MB/s transport (the full-surface run —
+    GalleryIndex build/upload/query + certificate + fidelity — is
+    tools/gallery_scale.py, recorded in PERF.md 'Gallery capacity')."""
+    import jax
+
+    from imageretrievalresearch_tpu.ops.retrieval import (
+        cosine_topk,
+        l2_normalize,
+        quantize_rows_int8,
+    )
+
+    n = 1_000_000
+    chunks = []
+    # chunked generation: one (1M, 1536) f32 normal + quantize peaks >12 GB
+    # of HBM scratch; 250k chunks stay well inside
+    for i in range(4):
+        g = jax.random.normal(jax.random.key(10 + i), (n // 4, DIM))
+        chunks.append(quantize_rows_int8(l2_normalize(g)))
+        jax.block_until_ready(chunks[-1])
+    import jax.numpy as jnp
+
+    codes = jnp.concatenate([c for c, _ in chunks])
+    scales = jnp.concatenate([s for _, s in chunks])
+    del chunks
+    queries = jax.random.normal(jax.random.key(1), (QUERIES, DIM))
+
+    def run():
+        v, i = cosine_topk(queries, codes, K, matmul_dtype="int8",
+                           gallery_scale=scales)
+        np.asarray(v[:1, :1])
+
+    run()
+    run()
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return QUERIES / min(times)
+
+
 def main() -> int | None:
     if not _wait_for_device():
         # One honest JSON line beats hanging the driver forever.
@@ -210,15 +264,24 @@ def main() -> int | None:
         embed_ips = bench_embed_throughput()
     except Exception:
         embed_ips = -1.0
+    try:
+        qps_1m_int8 = bench_gallery_1m_int8()
+    except Exception:
+        qps_1m_int8 = -1.0
     print(json.dumps({
         "metric": "retrieval_qps_100k_gallery_top150",
         "value": round(qps, 2),
-        "unit": "queries/sec",
-        "vs_baseline": round(qps / ref_qps, 2),
+        # headline ratio uses the PINNED denominator (BASELINE.md canonical
+        # protocol) so it is comparable across rounds; the live in-process
+        # measurement is reported alongside for drift visibility
+        "vs_baseline": round(qps / REFERENCE_CPU_QPS_CANONICAL, 2),
         "exact_bf16_qps": round(bf16_qps, 2),
         "approx_path_qps": round(approx_qps, 2),
         "embed_b3a_img_per_sec": round(embed_ips, 1),
-        "reference_cpu_qps": round(ref_qps, 4),
+        "gallery_1m_int8_qps": round(qps_1m_int8, 1),
+        "reference_cpu_qps_canonical": REFERENCE_CPU_QPS_CANONICAL,
+        "reference_cpu_qps_live": round(ref_qps, 4),
+        "vs_baseline_live": round(qps / ref_qps, 2),
     }))
 
 
