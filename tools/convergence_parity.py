@@ -95,6 +95,50 @@ def _to_float(b: dict) -> dict:
     }
 
 
+def _warm_start_torch(tmodel, tree, split, batch_size, epochs,
+                      lr: float = 1e-3) -> None:
+    """T5-style CE warmup of the SHARED torch init (in place), before it
+    is converted into both frameworks.
+
+    From-scratch tiny swin is stuck in the cos-only saddle (the final-LN +
+    mean-pool embedding is nearly input-independent at init, so the cosine
+    gradient vanishes — PARITY.md T4 caveat); the reference's T4 lives on
+    pretrained timm weights (train/train_vit_triplet.py:468). Training the
+    classifier trunk first (the reference's own classification recipe,
+    train_vit_crossentropy.py) makes the embedding input-dependent, so the
+    warm-started T4 run converges and the parity claim covers retrieval
+    QUALITY, not just saddle trajectories.
+
+    Recipe details pinned by probing (round 4): the warmup must be
+    DUAL-MODALITY — sketches AND their positive photos under the same
+    class label — or the photo gallery stays out-of-distribution and the
+    warm trunk retrieves at chance; ~30 epochs at lr 1e-3 / bs 8 are
+    needed before CE breaks off the uniform-predictor plateau on this
+    tiny synthetic set (measured: class top1 0.625 vs 0.167 chance after
+    30 epochs; 15 epochs → still at chance). Deterministic: fixed loader
+    seed, torch CPU ops, and the caller's torch.manual_seed — the
+    'jax' and 'torch' phases rerun this in separate processes and must
+    produce identical warmed weights."""
+    import torch
+
+    loader = make_loader(tree, split, "train", 8, seed=7)
+    opt = torch.optim.AdamW(tmodel.parameters(), lr=lr, weight_decay=1e-5)
+    ce = torch.nn.CrossEntropyLoss()
+    tmodel.train()
+    for _ in range(epochs):
+        for b in loader:
+            fb = _to_float(b)
+            x = torch.from_numpy(np.concatenate(
+                [fb["qry"], fb["pos"][0]]).transpose(0, 3, 1, 2))
+            lbl = torch.from_numpy(np.concatenate(
+                [np.asarray(fb["cat_idx"])] * 2)).long()
+            loss = ce(tmodel(x), lbl)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+    tmodel.eval()
+
+
 # ------------------------------------------------------------ jax side ----
 
 def jax_train(cfg, backbone, variables, train_loader, val_loader,
@@ -319,7 +363,7 @@ class _TransformedLoader:
 def _setup(workdir: str, *, recipe: str, epochs: int, batch_size: int,
            size: int, n_cats: int, n_prods: int, n_photos: int,
            n_sketches: int, milestones, lr: float, wd: float,
-           need_jax_init: bool = True):
+           need_jax_init: bool = True, warm_epochs: int = 0):
     """Deterministic shared context for every phase: tree, split, config,
     identical init (torch weights converted into flax). The flax init +
     strict conversion cost real XLA:CPU compile time; phases that never
@@ -375,6 +419,10 @@ def _setup(workdir: str, *, recipe: str, epochs: int, batch_size: int,
                              num_classes=n_cls)
         bb = create_model("efficientnet_b0", num_classes=n_cls,
                           depth_mult=0.1, width_mult=0.5, drop_rate=0.0)
+    if warm_epochs:
+        # warm the SHARED init before conversion: both frameworks start
+        # from the identical CE-trained trunk (VERDICT r3 task 6)
+        _warm_start_torch(tmodel, tree, split, batch_size, warm_epochs)
     variables = None
     if need_jax_init:
         variables = bb.init(jax.random.key(0),
@@ -389,7 +437,8 @@ def run_experiment(workdir: str, *, recipe: str = "t3", epochs: int = 6,
                    n_cats: int = 6, n_prods: int = 2, n_photos: int = 10,
                    n_sketches: int = 6, milestones=(3, 5),
                    lr: float = 1e-3, wd: float = 1e-5,
-                   phase: str = "all") -> dict | None:
+                   phase: str = "all", warm_epochs: int = 0
+                   ) -> dict | None:
     """``phase`` chunks the experiment across process invocations (this
     host kills shells at ~590 s): 'jax' and 'torch' each train one side
     and persist artifacts under ``workdir``; 'final' loads both, runs the
@@ -411,7 +460,7 @@ def run_experiment(workdir: str, *, recipe: str = "t3", epochs: int = 6,
         workdir, recipe=recipe, epochs=epochs, batch_size=batch_size,
         size=size, n_cats=n_cats, n_prods=n_prods, n_photos=n_photos,
         n_sketches=n_sketches, milestones=milestones, lr=lr, wd=wd,
-        need_jax_init=phase in ("all", "jax"))
+        need_jax_init=phase in ("all", "jax"), warm_epochs=warm_epochs)
     jvars_path = os.path.join(workdir, "jax_best.pkl")
     jhist_path = os.path.join(workdir, "jax_hist.json")
     tsd_path = os.path.join(workdir, "torch_best.pt")
@@ -944,13 +993,19 @@ def main() -> None:
                    help="MultiStepLR decay epochs (scaled-down reference "
                         "schedule)")
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--warm_epochs", type=int, default=0,
+                   help="t4 only: CE-warm the shared torch init for N "
+                        "epochs before conversion, so the cos-only run "
+                        "starts from a non-degenerate trunk (the "
+                        "reference's pretrained-init analog)")
     args = p.parse_args()
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
 
-    wd = os.path.join(args.workdir, args.recipe)
+    wd = os.path.join(args.workdir,
+                      args.recipe + ("_warm" if args.warm_epochs else ""))
     ms = tuple(args.milestones)
     if args.recipe == "aa":
         out = run_aa_experiment(wd, epochs=args.epochs, only=args.aa_run,
@@ -960,7 +1015,8 @@ def main() -> None:
                                 milestones=ms, lr=args.lr)
     else:
         out = run_experiment(wd, recipe=args.recipe, epochs=args.epochs,
-                             phase=args.phase, milestones=ms, lr=args.lr)
+                             phase=args.phase, milestones=ms, lr=args.lr,
+                             warm_epochs=args.warm_epochs)
     if out is None:
         print(f"phase done ({args.phase or args.aa_run}); artifacts in {wd}")
         return
