@@ -3,7 +3,10 @@
 Headline metric: retrieval queries/sec through the exact cosine-topk path
 (on TPU: the fused Pallas streaming kernel — normalize + MXU matmul +
 in-VMEM exact top-k, k=150, notebook ranking semantics) on a 100k x 1536
-gallery (efficientnet_b3a embedding dim).
+gallery (efficientnet_b3a embedding dim), measured PIPELINED (back-to-back
+async dispatches, one fence — see _pipelined_qps for why: the per-call
+protocol of rounds 1-3 spent ~70% of each sample in this sandbox's ~25 ms
+tunnel round trip; that legacy figure is still reported as per_call_qps).
 
 ``vs_baseline`` = our qps / the reference's eager per-query CPU loop
 (torch CosineSimilarity + torch.topk per query, inference semantics of
@@ -80,30 +83,64 @@ def _device_embeddings():
     return queries, gallery
 
 
-def bench_tpu_retrieval(matmul_dtype: str = "float32") -> float:
+def _pipelined_qps(call, *, n_iter: int = 20, repeats: int = 5,
+                   queries: int = QUERIES) -> float:
+    """Steady-state throughput of an already-jitted retrieval call:
+    ``n_iter`` back-to-back ASYNC dispatches, fenced ONCE by fetching a
+    corner of the LAST result (device execution is in-order, so the last
+    program finishing implies all earlier ones did).
+
+    Why pipelined and not per-call: each synchronous call over this
+    sandbox's remote-TPU tunnel carries a fixed ~25 ms dispatch+fetch
+    round trip. Measured round 4 (tools/ scaling sweep, n=1..40): total
+    time = 25 ms + n x 10.4 ms — i.e. the fused 100k-gallery kernel
+    itself takes ~10.4 ms, and every previously recorded per-call figure
+    (35-43 ms -> 47-64k qps, including PERF.md's old "30-37 ms
+    structural floor") was dominated by the tunnel RTT, which also made
+    the recorded headline swing with host contention across rounds. In
+    real serving, dispatch overlaps compute — exactly what JAX async
+    dispatch does here — so the pipelined figure is the chip-throughput
+    number. ``per_call_qps`` is still reported for cross-round
+    continuity."""
+    call()
+    call()                      # warm twice (CLAUDE.md transport rule)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        v = None
+        for _ in range(n_iter):
+            v = call()
+        np.asarray(v[:1, :1])   # the one reliable fence on this transport
+        times.append(time.perf_counter() - t0)
+    return queries * n_iter / min(times)
+
+
+def bench_tpu_retrieval(matmul_dtype: str = "float32",
+                        per_call: bool = False) -> float:
     import jax
 
     from imageretrievalresearch_tpu.ops.retrieval import cosine_topk
 
     queries, gallery = _device_embeddings()
 
-    def run():
-        v, i = cosine_topk(queries, gallery, K, query_block=512,
+    def call():
+        v, _ = cosine_topk(queries, gallery, K, query_block=512,
                            matmul_dtype=matmul_dtype)
-        # force a result fetch: block_until_ready lies over this remote
-        # transport (CLAUDE.md) — a tiny fetch is the reliable fence
-        np.asarray(v[:1, :1])
-        return v, i
+        return v
 
-    run()
-    run()
+    if not per_call:
+        return _pipelined_qps(call)
+    # legacy per-call protocol (rounds 1-3 headline): one fetch per call,
+    # so each sample includes the ~25 ms tunnel RTT; min-of-12 because
+    # the RTT draw swings run-to-run
+    call()
+    call()
     times = []
-    for _ in range(5):
+    for _ in range(12):
         t0 = time.perf_counter()
-        run()
+        np.asarray(call()[:1, :1])
         times.append(time.perf_counter() - t0)
-    best = min(times)
-    return QUERIES / best
+    return QUERIES / min(times)
 
 
 def bench_reference_cpu() -> float:
@@ -142,20 +179,12 @@ def bench_tpu_retrieval_approx() -> float:
 
     queries, gallery = _device_embeddings()
 
-    def run():
-        v, i = cosine_topk(queries, gallery, K, query_block=2048,
+    def call():
+        v, _ = cosine_topk(queries, gallery, K, query_block=2048,
                            method="approx", matmul_dtype="bfloat16")
-        np.asarray(v[:1, :1])
         return v
 
-    run()
-    run()
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    return QUERIES / min(times)
+    return _pipelined_qps(call)
 
 
 def bench_embed_throughput(batch: int = 256) -> float:
@@ -229,19 +258,14 @@ def bench_gallery_1m_int8() -> float:
     del chunks
     queries = jax.random.normal(jax.random.key(1), (QUERIES, DIM))
 
-    def run():
-        v, i = cosine_topk(queries, codes, K, matmul_dtype="int8",
+    def call():
+        v, _ = cosine_topk(queries, codes, K, matmul_dtype="int8",
                            gallery_scale=scales)
-        np.asarray(v[:1, :1])
+        return v
 
-    run()
-    run()
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t0)
-    return QUERIES / min(times)
+    # n_iter=10 (not 20): each call streams the full 1.5 GB of codes, so
+    # the pipeline is long enough to amortize RTT at 10 already
+    return _pipelined_qps(call, n_iter=10)
 
 
 def main() -> int | None:
@@ -258,6 +282,7 @@ def main() -> int | None:
         return 1
     ref_qps = bench_reference_cpu()
     qps = bench_tpu_retrieval()
+    per_call_qps = bench_tpu_retrieval(per_call=True)
     bf16_qps = bench_tpu_retrieval(matmul_dtype="bfloat16")
     approx_qps = bench_tpu_retrieval_approx()
     try:
@@ -270,11 +295,15 @@ def main() -> int | None:
         qps_1m_int8 = -1.0
     print(json.dumps({
         "metric": "retrieval_qps_100k_gallery_top150",
+        # headline = pipelined steady-state (see _pipelined_qps: the old
+        # per-call protocol measured mostly tunnel RTT); per_call_qps
+        # carries the rounds-1-3 protocol for continuity
         "value": round(qps, 2),
         # headline ratio uses the PINNED denominator (BASELINE.md canonical
         # protocol) so it is comparable across rounds; the live in-process
         # measurement is reported alongside for drift visibility
         "vs_baseline": round(qps / REFERENCE_CPU_QPS_CANONICAL, 2),
+        "per_call_qps": round(per_call_qps, 2),
         "exact_bf16_qps": round(bf16_qps, 2),
         "approx_path_qps": round(approx_qps, 2),
         "embed_b3a_img_per_sec": round(embed_ips, 1),
