@@ -145,10 +145,11 @@ def pallas_cosine_scores(queries_hat: jax.Array, gallery: jax.Array,
 # 4. Exactness certificate: the result equals lax.top_k iff no bin needed
 #    more than its T stored values, i.e. max_bins(T-th value) < k-th
 #    extracted value. The certificate is returned per query row; the
-#    public wrapper falls back to the dense path via lax.cond when any row
-#    fails (probability ~1e-4 per call for k=150, T=6, GT=512 under a
-#    uniform spread of the true top-k over bins; adversarial consecutive
-#    duplicates land in distinct bins by construction of g mod GT).
+#    public wrapper repairs failing rows via the bounded dense re-rank in
+#    certified_topk_repair (probability ~8e-6 per row for k=150, T=6,
+#    BINS=512 under a uniform spread of the true top-k over bins;
+#    adversarial consecutive duplicates land in distinct bins by
+#    construction of g mod BINS).
 #
 # Reference semantics preserved: training_analysis.ipynb cell 2
 # ``topk(cos(fm, fms_poss_all), k=150)``.
@@ -368,9 +369,26 @@ def dense_scores(q_hat, gallery, matmul_dtype, gallery_scale=None):
     return _scores_prepared(q_hat, g_prep, gs, matmul_dtype)
 
 
+# Default kernel geometry (round-4 pipelined-timing sweep, 100k x 1536,
+# Q=2048, k=150 on chip — the round-3 sweep that settled on q_tile=256
+# was per-call timed, where the ~25 ms tunnel RTT hid these differences):
+#   q256 g512 t6 (old):  11.6 ms          q512 g256 t8:  9.3 ms
+#   q512 g512 t6:         8.9 ms f32 / 7.9 bf16 / 6.5 int8, cert 1.0000
+# q_tile=512 halves the gallery re-streams (4 q-tiles, not 8); the
+# winning config needs ~22 MB of scoped VMEM, past Mosaic's 16 MB
+# default budget — raised via compiler_params below (v5e has 128 MB
+# physical). Larger q tiles (1024/2048) gain nothing further: with 4
+# tiles the re-stream DMA already overlaps compute. q_tile adapts down
+# for small query batches so serving-sized requests don't pad to 512.
+FUSED_G_TILE = 512
+FUSED_T_DEPTH = 6
+FUSED_Q_TILE_MAX = 512
+
+
 def fused_cosine_topk_pallas(
         queries_hat: jax.Array, gallery: jax.Array, k: int,
-        *, q_tile: int = 256, g_tile: int = 512, t_depth: int = 6,
+        *, q_tile: int | None = None, g_tile: int = FUSED_G_TILE,
+        t_depth: int = FUSED_T_DEPTH,
         matmul_dtype: str = "float32", gallery_scale: jax.Array | None = None,
         interpret: bool = False
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -393,6 +411,8 @@ def fused_cosine_topk_pallas(
     _check_prepared(gallery, matmul_dtype, gallery_scale)
     q, d = queries_hat.shape
     g = gallery.shape[0]
+    if q_tile is None:
+        q_tile = min(FUSED_Q_TILE_MAX, _round_up(q, 256))
     assert k <= t_depth * g_tile, (k, t_depth, g_tile)
     bf16 = matmul_dtype == "bfloat16"
     int8 = matmul_dtype == "int8"
@@ -427,6 +447,12 @@ def fused_cosine_topk_pallas(
         ],
         interpret=interpret,
     )
+    if not interpret:
+        # the q512/g512/t6 geometry needs ~22 MB of scoped VMEM, past
+        # Mosaic's default 16 MB budget; v5e has 128 MB physical — raise
+        # the budget so tile choice is set by measurement, not the cap
+        common["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
     if int8:
         qq, qs = quantize_rows_int8(qh)
         if gallery.dtype == jnp.int8:
@@ -627,7 +653,7 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
         and (jax.default_backend() == "tpu" or interpret)
         and not use_pallas
         and matmul_dtype in ("float32", "bfloat16", "int8")
-        and _fused_eligible(q, g, d, k, 512, 6))
+        and _fused_eligible(q, g, d, k, FUSED_G_TILE, FUSED_T_DEPTH))
 
     def dense_rank(q_hat):
         if use_pallas:

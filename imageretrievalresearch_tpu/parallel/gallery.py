@@ -16,6 +16,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from imageretrievalresearch_tpu.ops.retrieval import (
+    FUSED_G_TILE,
+    FUSED_T_DEPTH,
     _check_prepared,
     _fused_eligible,
     certified_topk_repair,
@@ -126,7 +128,8 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
     platform = mesh.devices.flat[0].platform
     fused = use_fused if use_fused is not None else (
         (platform == "tpu" or interpret)
-        and _fused_eligible(q, shard, d, k_local, 512, 6))
+        and _fused_eligible(q, shard, d, k_local, FUSED_G_TILE,
+                            FUSED_T_DEPTH))
     args = (gallery,) + ((gallery_scale,)
                          if gallery_scale is not None else ())
     return _sharded_topk_impl(queries, *args, mesh=mesh,

@@ -6,6 +6,8 @@ import numpy as np
 import pytest
 
 from imageretrievalresearch_tpu.ops.retrieval import (
+    FUSED_G_TILE,
+    FUSED_T_DEPTH,
     chunked_topk,
     cosine_scores,
     cosine_topk,
@@ -139,17 +141,19 @@ class TestFusedTopk:
 
     def test_certificate_fails_on_bin_overflow_and_wrapper_falls_back(
             self, rng):
-        # 8 distinct strong rows at stride 512 share bin 0; with t_depth=6
-        # the bin overflows its buffer -> certificate must go false, and
-        # the cosine_topk wrapper must still return the exact result via
-        # its dense fallback
-        q, g = self._int_qg(rng, q=8, g=4096)
-        for t in range(8):
+        # t_depth+2 distinct strong rows at stride g_tile share bin 0; the
+        # bin overflows its t_depth-deep buffer -> certificate must go
+        # false, and the cosine_topk wrapper must still return the exact
+        # result via its repair/fallback (geometry derived from the kernel
+        # defaults so this keeps overflowing if they are retuned)
+        n_strong = FUSED_T_DEPTH + 2
+        q, g = self._int_qg(rng, q=8, g=max(4096, FUSED_G_TILE * n_strong))
+        for t in range(n_strong):
             row = np.zeros((32,), np.float32)
             row[:16] = 1.0
-            row[16 + t] = 0.0   # keep distinct-but-similar direction
+            row[16 + t % 16] = 0.0   # keep distinct-but-similar direction
             row[t] = 2.0 + t    # dominant alignment, distinct norms
-            g[t * 512] = row
+            g[t * FUSED_G_TILE] = row
         q[:] = 0.0
         q[:, :16] = 1.0          # all queries align with the strong rows
         qh = l2_normalize(jnp.asarray(q))
