@@ -171,6 +171,31 @@ def bench_reference_cpu() -> float:
     return n / dt
 
 
+def bench_tpu_retrieval_int8() -> float:
+    """Serving-resident int8 mode at the headline gallery size: codes +
+    scales prepared once (as GalleryIndex keeps them), exact top-k over
+    the quantized scores. The fastest serving mode on this chip — beats
+    approx_max_k with exact (quantized-score) ranking."""
+    import jax
+
+    from imageretrievalresearch_tpu.ops.retrieval import (
+        cosine_topk,
+        l2_normalize,
+        quantize_rows_int8,
+    )
+
+    queries, gallery = _device_embeddings()
+    codes, scales = quantize_rows_int8(l2_normalize(gallery))
+    jax.block_until_ready(codes)
+
+    def call():
+        v, _ = cosine_topk(queries, codes, K, matmul_dtype="int8",
+                           gallery_scale=scales)
+        return v
+
+    return _pipelined_qps(call)
+
+
 def bench_tpu_retrieval_approx() -> float:
     """Serving-path variant: bf16 matmul + lax.approx_max_k (recall 0.95)."""
     import jax
@@ -286,6 +311,10 @@ def main() -> int | None:
     bf16_qps = bench_tpu_retrieval(matmul_dtype="bfloat16")
     approx_qps = bench_tpu_retrieval_approx()
     try:
+        int8_qps = bench_tpu_retrieval_int8()
+    except Exception:
+        int8_qps = -1.0
+    try:
         embed_ips = bench_embed_throughput()
     except Exception:
         embed_ips = -1.0
@@ -306,6 +335,7 @@ def main() -> int | None:
         "per_call_qps": round(per_call_qps, 2),
         "exact_bf16_qps": round(bf16_qps, 2),
         "approx_path_qps": round(approx_qps, 2),
+        "exact_int8_qps": round(int8_qps, 2),
         "embed_b3a_img_per_sec": round(embed_ips, 1),
         "gallery_1m_int8_qps": round(qps_1m_int8, 1),
         "reference_cpu_qps_canonical": REFERENCE_CPU_QPS_CANONICAL,
