@@ -85,9 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--method", type=str, default="exact",
                     choices=["exact", "approx"])
     pq.add_argument("--matmul_dtype", type=str, default="float32",
-                    choices=["float32", "bfloat16", "int8"],
+                    choices=["float32", "bfloat16", "int8", "int8_rerank"],
                     help="bfloat16/int8 = half/quarter gallery bytes, "
-                         "exact top-k of the rounded/quantized scores")
+                         "exact top-k of the rounded/quantized scores; "
+                         "int8_rerank = certified two-stage capacity mode "
+                         "(int8 shortlist + f32-faithful re-rank, ~f32 "
+                         "ranking at int8 streaming speed, bf16 memory)")
     pq.add_argument("--transform", type=str, default=None,
                     choices=["squarepad", "plain"],
                     help="eval transform (default: the artifact's recorded "
@@ -116,7 +119,7 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--method", type=str, default="exact",
                     choices=["exact", "approx"])
     ps.add_argument("--matmul_dtype", type=str, default="float32",
-                    choices=["float32", "bfloat16", "int8"])
+                    choices=["float32", "bfloat16", "int8", "int8_rerank"])
     ps.add_argument("--transform", type=str, default=None,
                     choices=["squarepad", "plain"])
     ps.add_argument("--num_classes", type=int, default=None)
@@ -601,22 +604,36 @@ def _make_server(args):
     import jax.numpy as jnp
 
     from imageretrievalresearch_tpu import metrics as M
-    from imageretrievalresearch_tpu.ops.retrieval import cosine_topk
+    from imageretrievalresearch_tpu.ops.retrieval import (
+        cosine_topk,
+        int8_rerank_topk,
+    )
 
     backbone, variables, tfm = stack.backbone, stack.variables, stack.tfm
     k = min(args.topk, len(idx))
     prepared = idx._gallery_on_device(args.matmul_dtype)
-    g_dev, g_scale = (prepared if isinstance(prepared, tuple)
-                      else (prepared, None))
+    rerank = args.matmul_dtype == "int8_rerank"
+    if rerank:
+        gallery_args = prepared                 # 6-tuple, see GalleryIndex
+    else:
+        gallery_args = (prepared if isinstance(prepared, tuple)
+                        else (prepared, None))
     classes_dev = idx._classes_on_device()
 
     @functools.partial(jax.jit, static_argnames=("nu",))
-    def _search(x_u8, variables, g, g_scale, classes, nu):
+    def _search(x_u8, variables, gallery_args, classes, nu):
         q = backbone.embed(variables, tfm(x_u8), train=False)
-        vals, inds = cosine_topk(q.astype(jnp.float32), g, k,
-                                 method=args.method,
-                                 matmul_dtype=args.matmul_dtype,
-                                 gallery_scale=g_scale)
+        if rerank:
+            c1, s1, c2, s2, g1m, rm = gallery_args
+            vals, inds, _ = int8_rerank_topk(
+                q.astype(jnp.float32), c1, s1, c2, s2, k,
+                gallery_norm_bound=g1m, residual_norm_bound=rm)
+        else:
+            g, g_scale = gallery_args
+            vals, inds = cosine_topk(q.astype(jnp.float32), g, k,
+                                     method=args.method,
+                                     matmul_dtype=args.matmul_dtype,
+                                     gallery_scale=g_scale)
         if nu:
             uniq = jax.vmap(lambda i, v: M.unique_class_dedup(
                 i, v, classes, num_unique=nu))(inds, vals)
@@ -625,7 +642,7 @@ def _make_server(args):
         return vals, inds, classes[inds]
 
     def search_fn(xs, nu):
-        out = _search(xs, variables, g_dev, g_scale, classes_dev, nu)
+        out = _search(xs, variables, gallery_args, classes_dev, nu)
         vals, inds, cls = map(np.asarray, out)
         return _records(vals, inds, cls, idx.paths)
 

@@ -43,6 +43,36 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _dot_precision(precision: str):
+    """Map the public precision knob to a lax dot precision.
+
+    On TPU, JAX's DEFAULT precision computes nominal-f32 matmuls with
+    bf16-TRUNCATED multiplies on the MXU (one pass; ~3x the true-f32
+    rate). ``'highest'`` requests XLA's multi-pass f32-faithful algorithm
+    (bf16_6x decomposition, f32 accumulation — scores match a true f32
+    matmul to ~1e-7 relative, i.e. the reference's torch CPU/CUDA f32
+    cosine scores up to accumulation order). On CPU both settings are
+    true f32. Default stays 'default': it is ~3x faster and the measured
+    ranking gap is confined to near-ties (see PERF.md 'Matmul precision').
+    """
+    if precision == "default":
+        return None
+    if precision == "highest":
+        return jax.lax.Precision.HIGHEST
+    raise ValueError(f"unknown precision {precision!r}; "
+                     "expected 'default' or 'highest'")
+
+
+def _check_precision(precision: str, matmul_dtype: str) -> None:
+    _dot_precision(precision)  # validate the name
+    if precision != "default" and matmul_dtype != "float32":
+        # bf16/int8 modes define their own (input-rounded) arithmetic;
+        # silently accepting 'highest' there would misreport what ran
+        raise ValueError("precision='highest' applies to the float32 "
+                         f"score path only, not matmul_dtype="
+                         f"{matmul_dtype!r}")
+
+
 def chunked_topk(sims: jax.Array, k: int, *, chunk: int = 2048
                  ) -> tuple[jax.Array, jax.Array]:
     """Two-stage top-k over the last axis of (B, G).
@@ -76,7 +106,7 @@ def chunked_topk(sims: jax.Array, k: int, *, chunk: int = 2048
 # Pallas fused kernel: normalize-gallery + matmul scores
 # ---------------------------------------------------------------------------
 
-def _scores_kernel(q_ref, g_ref, out_ref):
+def _scores_kernel(q_ref, g_ref, out_ref, *, dot_precision=None):
     """One (Q_TILE, G_TILE) score block: normalize the gallery tile in VMEM,
     then MXU matmul against pre-normalized queries."""
     g = g_ref[:].astype(jnp.float32)                     # (G_TILE, D)
@@ -85,11 +115,13 @@ def _scores_kernel(q_ref, g_ref, out_ref):
     q = q_ref[:].astype(jnp.float32)                     # (Q_TILE, D)
     out_ref[:] = jax.lax.dot_general(
         q, g_hat, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=dot_precision,
         preferred_element_type=jnp.float32)
 
 
 def pallas_cosine_scores(queries_hat: jax.Array, gallery: jax.Array,
                          *, q_tile: int = 128, g_tile: int = 512,
+                         precision: str = "default",
                          interpret: bool = False) -> jax.Array:
     """(Q, D) normalized queries × (G, D) raw gallery -> (Q, G) cosine sims.
 
@@ -105,7 +137,8 @@ def pallas_cosine_scores(queries_hat: jax.Array, gallery: jax.Array,
     gh = jnp.pad(gallery.astype(jnp.float32), ((0, gp - g), (0, 0)))
 
     out = pl.pallas_call(
-        _scores_kernel,
+        functools.partial(_scores_kernel,
+                          dot_precision=_dot_precision(precision)),
         grid=(qp // q_tile, gp // g_tile),
         in_specs=[
             pl.BlockSpec((q_tile, d), lambda i, j: (i, 0),
@@ -146,10 +179,11 @@ def pallas_cosine_scores(queries_hat: jax.Array, gallery: jax.Array,
 #    more than its T stored values, i.e. max_bins(T-th value) < k-th
 #    extracted value. The certificate is returned per query row; the
 #    public wrapper repairs failing rows via the bounded dense re-rank in
-#    certified_topk_repair (probability ~8e-6 per row for k=150, T=6,
-#    BINS=512 under a uniform spread of the true top-k over bins;
-#    adversarial consecutive duplicates land in distinct bins by
-#    construction of g mod BINS).
+#    certified_topk_repair. Failure probability under a uniform spread of
+#    the true top-k over bins (k=150, T=6, BINS=512): per bin
+#    P(Binom(150, 1/512) > 6) = 2.5e-8, union bound over 512 bins
+#    ≈ 1.3e-5 per query row. Adversarial consecutive duplicates land in
+#    distinct bins by construction of g mod BINS.
 #
 # Reference semantics preserved: training_analysis.ipynb cell 2
 # ``topk(cos(fm, fms_poss_all), k=150)``.
@@ -224,11 +258,14 @@ def _stream_topk_update(s, j, nj, vals_out, inds_out, ok_out,
 
 def _fused_topk_kernel(q_ref, g_ref, gnorm_ref, vals_out, inds_out, ok_out,
                        bufv_ref, bufi_ref, *, k: int, t_depth: int,
-                       g_real: int):
+                       g_real: int, dot_precision=None):
     """f32 variant: raw gallery tiles + norms stream in; normalize the tile
     BEFORE the matmul — the same arithmetic order as the dense path
-    (l2_normalize(gallery) then dot), so scores agree bitwise and near-tie
-    rankings match lax.top_k exactly."""
+    (l2_normalize(gallery) then dot), so scores agree with the dense
+    fallback and near-tie rankings match lax.top_k of the same-precision
+    scores. ``dot_precision=None`` (the default knob) runs the MXU's
+    one-pass bf16-truncated f32 matmul; ``Precision.HIGHEST`` runs the
+    multi-pass f32-faithful algorithm (~torch f32 scores)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -241,6 +278,7 @@ def _fused_topk_kernel(q_ref, g_ref, gnorm_ref, vals_out, inds_out, ok_out,
     s = jax.lax.dot_general(
         q_ref[:].astype(jnp.float32), g_hat,
         dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=dot_precision,
         preferred_element_type=jnp.float32)
     _stream_topk_update(s, j, pl.num_programs(1), vals_out, inds_out, ok_out,
                         bufv_ref, bufi_ref, k=k, t_depth=t_depth,
@@ -308,6 +346,31 @@ def quantize_rows_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def quantize_rows_int8_residual(x: jax.Array) -> tuple[
+        jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Two-level per-row int8 quantization for the ``int8_rerank`` serving
+    mode: primary codes exactly as :func:`quantize_rows_int8` (so stage 1
+    streams the SAME bytes/arithmetic as pure int8 serving), plus int8
+    codes of the residual ``x - primary``. Residual scale is ~primary/254,
+    so two-level reconstruction error is ~254x below single-level int8 —
+    far below bf16 input rounding — at bf16's total bytes (2/row-elem).
+
+    Returns ``(codes, scales, res_codes, res_scales, max_primary_norm,
+    max_residual_norm)``; the two scalars are ``max_rows ||dequant(row)||``
+    and ``max_rows ||residual(row)||``, precomputed here because the
+    re-rank recall certificate needs them per call and recomputing them
+    would re-stream the full gallery (see :func:`int8_rerank_topk`).
+    """
+    x = x.astype(jnp.float32)
+    q1, s1 = quantize_rows_int8(x)
+    deq1 = q1.astype(jnp.float32) * s1
+    resid = x - deq1
+    q2, s2 = quantize_rows_int8(resid)
+    g1max = jnp.max(jnp.linalg.norm(deq1, axis=1))
+    rmax = jnp.max(jnp.linalg.norm(resid, axis=1))
+    return q1, s1, q2, s2, g1max, rmax
+
+
 def _int8_scores(qq, qs, gq, gs):
     """Dense-path score arithmetic for int8 mode (must match the kernel)."""
     s32 = jax.lax.dot_general(qq, gq,
@@ -347,7 +410,8 @@ def _prepare_gallery(gallery, matmul_dtype, gallery_scale=None):
     return l2_normalize(gallery), None
 
 
-def _scores_prepared(q_hat, g_prep, g_scale, matmul_dtype):
+def _scores_prepared(q_hat, g_prep, g_scale, matmul_dtype,
+                     precision: str = "default"):
     if matmul_dtype == "int8":
         qq, qs = quantize_rows_int8(q_hat)
         return _int8_scores(qq, qs, g_prep, g_scale)
@@ -356,17 +420,23 @@ def _scores_prepared(q_hat, g_prep, g_scale, matmul_dtype):
             q_hat.astype(jnp.bfloat16), g_prep,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-    return q_hat @ g_prep.T
+    return jax.lax.dot_general(
+        q_hat, g_prep, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=_dot_precision(precision),
+        preferred_element_type=jnp.float32)
 
 
-def dense_scores(q_hat, gallery, matmul_dtype, gallery_scale=None):
+def dense_scores(q_hat, gallery, matmul_dtype, gallery_scale=None,
+                 precision: str = "default"):
     """The ONE definition of the dense score arithmetic per matmul_dtype —
     used by the dense ranking path, the certificate-repair path, and the
     sharded per-shard fallback. It must match the fused kernels exactly
     (the lax.cond fallback contract); accepts raw f32 or pre-prepared
-    (bf16 normalized / int8 quantized + scales) galleries."""
+    (bf16 normalized / int8 quantized + scales) galleries. ``precision``
+    (f32 mode only) follows :func:`_dot_precision`: 'default' = one-pass
+    bf16-truncated MXU multiplies on TPU, 'highest' = f32-faithful."""
     g_prep, gs = _prepare_gallery(gallery, matmul_dtype, gallery_scale)
-    return _scores_prepared(q_hat, g_prep, gs, matmul_dtype)
+    return _scores_prepared(q_hat, g_prep, gs, matmul_dtype, precision)
 
 
 # Default kernel geometry (round-4 pipelined-timing sweep, 100k x 1536,
@@ -390,6 +460,7 @@ def fused_cosine_topk_pallas(
         *, q_tile: int | None = None, g_tile: int = FUSED_G_TILE,
         t_depth: int = FUSED_T_DEPTH,
         matmul_dtype: str = "float32", gallery_scale: jax.Array | None = None,
+        precision: str = "default",
         interpret: bool = False
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(Q, D) normalized queries x (G, D) raw gallery -> exact top-k
@@ -409,6 +480,7 @@ def fused_cosine_topk_pallas(
     if matmul_dtype not in ("float32", "bfloat16", "int8"):
         raise ValueError(f"unknown matmul_dtype {matmul_dtype!r}")
     _check_prepared(gallery, matmul_dtype, gallery_scale)
+    _check_precision(precision, matmul_dtype)
     q, d = queries_hat.shape
     g = gallery.shape[0]
     if q_tile is None:
@@ -512,7 +584,8 @@ def fused_cosine_topk_pallas(
         gh = jnp.pad(gallery.astype(jnp.float32), ((0, gp - g), (0, 0)))
         gnorm = jnp.linalg.norm(gh, axis=1)[:, None]         # (GP, 1)
         kernel = functools.partial(_fused_topk_kernel, k=k, t_depth=t_depth,
-                                   g_real=g)
+                                   g_real=g,
+                                   dot_precision=_dot_precision(precision))
         vals, inds, ok = pl.pallas_call(
             kernel,
             grid=grid,
@@ -552,12 +625,14 @@ def _fused_eligible(q: int, g: int, d: int, k: int,
 
 
 def certified_topk_repair(q_hat, gallery, k, vals, inds, ok, *,
-                          matmul_dtype, gallery_scale, full_fallback):
+                          matmul_dtype, gallery_scale, full_fallback,
+                          precision: str = "default"):
     """Bounded certificate repair shared by the single-device
     (:func:`cosine_topk`) and sharded (``parallel.gallery``) fused paths.
 
-    Row failures are rare (~1.6e-6/row for k=150, t=6, bins=512 under a
-    uniform top-k spread) but DETERMINISTIC per dataset: a whole-gallery
+    Row failures are rare (~1.3e-5/row for k=150, t=6, bins=512 under a
+    uniform top-k spread — the union-bound derivation in the kernel
+    header) but DETERMINISTIC per dataset: a whole-gallery
     dense fallback would re-pay the full (Q, G) matmul on EVERY call for
     one bad row (the ~3.7x cliff measured in PERF.md). Instead up to RETRY
     failing rows are re-ranked densely through the same score arithmetic
@@ -574,7 +649,8 @@ def certified_topk_repair(q_hat, gallery, k, vals, inds, ok, *,
         # surplus slots harmlessly re-rank row 0)
         _, rows = jax.lax.top_k(bad, RETRY)
         sub = q_hat[rows]                                # (RETRY, D)
-        sims = dense_scores(sub, gallery, matmul_dtype, gallery_scale)
+        sims = dense_scores(sub, gallery, matmul_dtype, gallery_scale,
+                            precision)
         rvals, rinds = chunked_topk(sims, k)
         keep = (jnp.arange(RETRY) < n_bad)[:, None]
         return (vals.at[rows].set(jnp.where(keep, rvals, vals[rows])),
@@ -591,25 +667,29 @@ def certified_topk_repair(q_hat, gallery, k, vals, inds, ok, *,
 @functools.partial(jax.jit,
                    static_argnames=("k", "query_block", "use_pallas",
                                     "interpret", "method", "recall_target",
-                                    "matmul_dtype"))
+                                    "matmul_dtype", "precision"))
 def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
                 *, query_block: int = 512, use_pallas: bool = False,
                 interpret: bool = False, method: str = "exact",
                 recall_target: float = 0.95,
                 matmul_dtype: str = "float32",
-                gallery_scale: jax.Array | None = None
+                gallery_scale: jax.Array | None = None,
+                precision: str = "default"
                 ) -> tuple[jax.Array, jax.Array]:
     """Top-k cosine retrieval: (Q, D) × (G, D) -> (vals, inds) each (Q, k).
 
     The compiled replacement for the reference's per-query loop. Methods:
 
-    - ``method='exact'`` (default, torch-parity ranking): on TPU, large
-      galleries route through the fused Pallas streaming kernel
-      (:func:`fused_cosine_topk_pallas`) — normalize + MXU matmul + exact
-      top-k in VMEM, (Q, G) scores never materialized — with a lax.cond
-      dense fallback when the per-row exactness certificate fails. Other
-      backends / small galleries use the dense blocked path (queries
-      stream in ``query_block`` chunks, two-stage top-k).
+    - ``method='exact'`` (default): on TPU, large galleries route through
+      the fused Pallas streaming kernel (:func:`fused_cosine_topk_pallas`)
+      — normalize + MXU matmul + exact top-k in VMEM, (Q, G) scores never
+      materialized — with a lax.cond dense fallback when the per-row
+      exactness certificate fails. Other backends / small galleries use
+      the dense blocked path (queries stream in ``query_block`` chunks,
+      two-stage top-k). The top-k is exact *for the computed scores*;
+      what precision the scores are computed at is set by ``precision``
+      (below) — reference torch-f32 score parity needs
+      ``precision='highest'`` on TPU.
     - ``method='fused'`` forces the fused kernel (``interpret=True`` for
       CPU testing); ``method='dense'`` forces the blocked dense path.
     - ``method='approx'``: ``lax.approx_max_k`` (TPU partial reduce,
@@ -631,10 +711,20 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
       is stream-bound) and holds 4x the items per chip. Top-k is exact
       for the quantized scores; measured ranking quality vs f32 is near-
       perfect on unit-norm embeddings (see PERF.md).
+    - ``precision`` (f32 mode only): ``'default'`` scores with JAX's
+      default matmul precision — on TPU that is ONE bf16-truncated MXU
+      pass per f32 matmul (~3x the true-f32 rate; near-tie rankings can
+      differ from true-f32 scores within the bf16 input rounding).
+      ``'highest'`` runs XLA's multi-pass f32-faithful algorithm in both
+      the fused kernel and the dense path — scores match the reference's
+      torch f32 cosine (train/train.py:73, inference/inference.py:223-242)
+      to ~1e-7 relative, at a measured throughput cost (PERF.md 'Matmul
+      precision'). On CPU both settings are true f32.
     """
     if matmul_dtype not in ("float32", "bfloat16", "int8"):
         raise ValueError(f"unknown matmul_dtype {matmul_dtype!r}")
     _check_prepared(gallery, matmul_dtype, gallery_scale)
+    _check_precision(precision, matmul_dtype)
     if use_pallas and gallery.dtype != jnp.float32:
         raise ValueError("use_pallas scores need a raw f32 gallery")
     if use_pallas and matmul_dtype != "float32":
@@ -671,8 +761,10 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
         def scores(qblk):
             if use_pallas:
                 return pallas_cosine_scores(qblk, g_for_scores,
+                                            precision=precision,
                                             interpret=interpret)
-            return _scores_prepared(qblk, g_prep, gs_prep, matmul_dtype)
+            return _scores_prepared(qblk, g_prep, gs_prep, matmul_dtype,
+                                    precision)
 
         def rank_block(qblk):
             sims = scores(qblk)
@@ -690,20 +782,153 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
     vals, inds, ok = fused_cosine_topk_pallas(q_hat, gallery, k,
                                               matmul_dtype=matmul_dtype,
                                               gallery_scale=gallery_scale,
+                                              precision=precision,
                                               interpret=interpret)
 
     return certified_topk_repair(q_hat, gallery, k, vals, inds, ok,
                                  matmul_dtype=matmul_dtype,
                                  gallery_scale=gallery_scale,
+                                 precision=precision,
                                  full_fallback=lambda: dense_rank(q_hat))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "shortlist", "rerank_block",
+                                    "interpret"))
+def int8_rerank_topk(queries: jax.Array, codes: jax.Array,
+                     scales: jax.Array, res_codes: jax.Array,
+                     res_scales: jax.Array, k: int,
+                     *, shortlist: int = 256, rerank_block: int = 256,
+                     gallery_norm_bound: jax.Array | None = None,
+                     residual_norm_bound: jax.Array | None = None,
+                     interpret: bool = False
+                     ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Certified two-stage int8 serving: quantized shortlist → refined
+    re-rank. Returns ``(vals, inds, margin)`` each (Q, k)/(Q, k)/(Q,).
+
+    Pure int8 serving holds 4x the items per chip but its top-1 agreement
+    vs f32 exact is ~0.965 at 1M items (PERF.md) — outside the north-star
+    quality band if int8 is the capacity mode. This mode recovers
+    ~f32-exact ranking at int8 streaming speed:
+
+    1. **Stage 1 — certified quantized shortlist**: exact top-``shortlist``
+       of the int8 MXU scores via the fused streaming kernel, per-row
+       exactness certificate + bounded dense repair (the same machinery as
+       ``cosine_topk(matmul_dtype='int8')``). Streams ONLY the primary
+       codes: G x D bytes, identical to pure int8 serving.
+    2. **Stage 2 — two-level refined re-rank**: gathers the shortlist's
+       primary + residual codes (:func:`quantize_rows_int8_residual`;
+       reconstruction error ~254x below single-level int8, i.e. far below
+       bf16 rounding) and re-scores them against the UNQUANTIZED f32
+       queries at ``Precision.HIGHEST`` — removing both the query- and
+       gallery-side quantization noise. Exact top-k of the refined scores
+       (ties keep stage-1 quantized-rank order — lowest global index
+       within equal quantized scores).
+
+    ``margin[q] = refined k-th value − quantized shortlist-th value``: the
+    score cushion an outside-shortlist item would need to overcome. With
+    the quantize-time norm bounds supplied, ``margin[q] > B_q`` (where
+    ``B_q = ||q − q̂|| · max_g||ĝ|| + ||q|| · max_g||res_g||``, Cauchy-
+    Schwarz) PROVES the result equals the full-gallery refined top-k for
+    that query; the bound is worst-case (~30x the typical noise — PERF.md
+    'int8→refined re-rank'), so un-certified rows are overwhelmingly
+    still exact. Memory: 2 G·D bytes resident (primary + residual) — half
+    of f32, equal to bf16, with stage 1 streaming half of bf16's bytes.
+
+    Reference semantics anchor: training_analysis.ipynb cell 2
+    ``topk(cos, k=150)`` — this mode's refined scores match the torch f32
+    cosine to ~1e-5 (measured, PERF.md) where pure int8 matches to ~1e-3.
+    """
+    q, d = queries.shape
+    g = codes.shape[0]
+    k = min(k, g)
+    c = min(max(shortlist, k), g)
+    q_hat = l2_normalize(queries)
+
+    def dense_stage1():
+        # blocked like cosine_topk's dense path: both lax.cond branches
+        # are COMPILED (and their HBM reserved) even when never executed —
+        # an unblocked (Q, G) score + sort here reserves ~23 GB at G=1M
+        # and fails the whole program at compile time
+        qb = min(512, _round_up(q, 8))
+        qp1 = _round_up(q, qb)
+        q_blk = jnp.pad(q_hat, ((0, qp1 - q), (0, 0))).reshape(
+            qp1 // qb, qb, d)
+        v, i = jax.lax.map(
+            lambda qblk: chunked_topk(
+                dense_scores(qblk, codes, "int8", scales), c), q_blk)
+        return (v.reshape(qp1, -1)[:q], i.reshape(qp1, -1)[:q])
+
+    if ((jax.default_backend() == "tpu" or interpret)
+            and _fused_eligible(q, g, d, c, FUSED_G_TILE, FUSED_T_DEPTH)):
+        v1, i1, ok = fused_cosine_topk_pallas(
+            q_hat, codes, c, matmul_dtype="int8", gallery_scale=scales,
+            interpret=interpret)
+        v1, i1 = certified_topk_repair(
+            q_hat, codes, c, v1, i1, ok, matmul_dtype="int8",
+            gallery_scale=scales,
+            full_fallback=lambda: dense_stage1())
+    else:
+        v1, i1 = dense_stage1()
+    c = v1.shape[1]                       # chunked_topk may clamp to g
+
+    # stage 2: blocked gather + refined re-rank (the (Q, c, D) gather is
+    # the dominant cost — rerank_block bounds its HBM residency)
+    qb = min(rerank_block, _round_up(q, 8))
+    qp = _round_up(q, qb)
+    q_pad = jnp.pad(q_hat, ((0, qp - q), (0, 0)))
+    i_pad = jnp.pad(i1, ((0, qp - q), (0, 0)))    # pad rows re-rank row 0
+
+    def rerank(args):
+        qblk, iblk = args                          # (B, D), (B, c)
+        c1 = codes[iblk].astype(jnp.float32)       # (B, c, D)
+        c2 = res_codes[iblk].astype(jnp.float32)
+        s1 = scales[iblk][..., 0]                  # (B, c)
+        s2 = res_scales[iblk][..., 0]
+        # HIGHEST: the default one-pass bf16 truncation of the f32 query
+        # operand would reintroduce ~bf16-level score noise — the exact
+        # error this stage exists to remove (codes ≤ 127 are exact in
+        # bf16; the query side is not)
+        dots1 = jnp.einsum("bd,bcd->bc", qblk, c1,
+                           precision=jax.lax.Precision.HIGHEST)
+        dots2 = jnp.einsum("bd,bcd->bc", qblk, c2,
+                           precision=jax.lax.Precision.HIGHEST)
+        refined = dots1 * s1 + dots2 * s2
+        rv, rp = jax.lax.top_k(refined, k)
+        return rv, jnp.take_along_axis(iblk, rp, axis=1)
+
+    vals, inds = jax.lax.map(rerank, (q_pad.reshape(qp // qb, qb, d),
+                                      i_pad.reshape(qp // qb, qb, c)))
+    vals = vals.reshape(qp, k)[:q]
+    inds = inds.reshape(qp, k)[:q]
+    margin = vals[:, k - 1] - v1[:, c - 1]
+    if gallery_norm_bound is not None and residual_norm_bound is not None:
+        qq, qs = quantize_rows_int8(q_hat)
+        q_err = jnp.linalg.norm(q_hat - qq.astype(jnp.float32) * qs,
+                                axis=1)
+        q_norm = jnp.linalg.norm(q_hat, axis=1)
+        bound = q_err * gallery_norm_bound + q_norm * residual_norm_bound
+        # margin becomes a signed certificate: > 0 iff provably exact
+        margin = margin - bound
+    return vals, inds, margin
 
 
 def cosine_scores(queries: jax.Array, gallery: jax.Array,
                   *, use_pallas: bool = False,
+                  precision: str = "default",
                   interpret: bool = False) -> jax.Array:
-    """Full (Q, G) cosine matrix (for small galleries / in-batch metrics)."""
+    """Full (Q, G) cosine matrix (for small galleries / in-batch metrics).
+
+    ``precision='highest'`` computes f32-faithful scores on TPU (see
+    :func:`_dot_precision`); the default is the MXU's one-pass
+    bf16-truncated f32 matmul."""
     q_hat = l2_normalize(queries)
     if use_pallas:
         return pallas_cosine_scores(q_hat, gallery.astype(jnp.float32),
+                                    precision=precision,
                                     interpret=interpret)
-    return q_hat @ l2_normalize(gallery).T
+    return jax.lax.dot_general(
+        q_hat, l2_normalize(gallery),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=_dot_precision(precision),
+        preferred_element_type=jnp.float32)

@@ -18,6 +18,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from imageretrievalresearch_tpu.ops.retrieval import (
     FUSED_G_TILE,
     FUSED_T_DEPTH,
+    _check_precision,
     _check_prepared,
     _fused_eligible,
     certified_topk_repair,
@@ -30,9 +31,10 @@ from imageretrievalresearch_tpu.ops.retrieval import (
 
 @functools.partial(
     jax.jit, static_argnames=("mesh", "axis_name", "k", "k_local", "shard",
-                              "fused", "matmul_dtype", "interpret"))
+                              "fused", "matmul_dtype", "precision",
+                              "interpret"))
 def _sharded_topk_impl(queries, gallery, *scale, mesh, axis_name, k, k_local,
-                       shard, fused, matmul_dtype, interpret):
+                       shard, fused, matmul_dtype, precision, interpret):
     """One compiled program: shard_map ranking + the candidate merge.
 
     Jitted as a whole because this IS the serving dispatch path — eager
@@ -45,19 +47,23 @@ def _sharded_topk_impl(queries, gallery, *scale, mesh, axis_name, k, k_local,
         if fused:
             vals, inds, ok = fused_cosine_topk_pallas(
                 q_hat, g_local, k_local, matmul_dtype=matmul_dtype,
-                gallery_scale=gs_local, interpret=interpret)
+                gallery_scale=gs_local, precision=precision,
+                interpret=interpret)
             # bounded per-shard certificate repair — the SAME parity-
             # critical logic as the single-device path, shared via
             # ops.retrieval.certified_topk_repair
             vals, inds = certified_topk_repair(
                 q_hat, g_local, k_local, vals, inds, ok,
                 matmul_dtype=matmul_dtype, gallery_scale=gs_local,
+                precision=precision,
                 full_fallback=lambda: tuple(chunked_topk(
-                    dense_scores(q_hat, g_local, matmul_dtype, gs_local),
+                    dense_scores(q_hat, g_local, matmul_dtype, gs_local,
+                                 precision),
                     k_local)))
         else:
             vals, inds = chunked_topk(
-                dense_scores(q_hat, g_local, matmul_dtype, gs_local),
+                dense_scores(q_hat, g_local, matmul_dtype, gs_local,
+                             precision),
                 k_local)
         # localize -> globalize indices by shard offset
         offset = jax.lax.axis_index(axis_name) * shard
@@ -91,6 +97,7 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
                         use_fused: bool | None = None,
                         matmul_dtype: str = "float32",
                         gallery_scale: jax.Array | None = None,
+                        precision: str = "default",
                         interpret: bool = False
                         ) -> tuple[jax.Array, jax.Array]:
     """(Q, D) × (G, D) -> global (vals, inds) with the gallery sharded on
@@ -110,6 +117,7 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
     # prepared (bf16/int8) gallery must not silently score with
     # mismatched arithmetic on the dense route
     _check_prepared(gallery, matmul_dtype, gallery_scale)
+    _check_precision(precision, matmul_dtype)
     n_dev = mesh.shape[axis_name]
     g = gallery.shape[0]
     assert g % n_dev == 0, "pad gallery to a multiple of the mesh size"
@@ -135,5 +143,5 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
     return _sharded_topk_impl(queries, *args, mesh=mesh,
                               axis_name=axis_name, k=k, k_local=k_local,
                               shard=shard, fused=fused,
-                              matmul_dtype=matmul_dtype,
+                              matmul_dtype=matmul_dtype, precision=precision,
                               interpret=interpret)

@@ -35,7 +35,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from imageretrievalresearch_tpu import metrics as M
-from imageretrievalresearch_tpu.ops.retrieval import cosine_topk, l2_normalize
+from imageretrievalresearch_tpu.ops.retrieval import (
+    cosine_topk,
+    int8_rerank_topk,
+    l2_normalize,
+)
 
 _FORMAT_VERSION = 1          # raw f32 embeddings
 _FORMAT_VERSION_COMPACT = 2  # bf16 bit-view / int8+scales storage
@@ -63,6 +67,20 @@ def _np_quantize_rows_int8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
                        np.float32(1e-12)) / np.float32(127.0)
     codes = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
     return codes, scale.astype(np.float32)
+
+
+def _np_quantize_rows_int8_residual(x: np.ndarray):
+    """Host-side twin of ops.retrieval.quantize_rows_int8_residual (same
+    f32 arithmetic) for the ``int8_rerank`` serving mode: primary + int8
+    residual codes plus the two norm bounds its recall certificate uses."""
+    x = np.asarray(x, np.float32)
+    c1, s1 = _np_quantize_rows_int8(x)
+    deq1 = c1.astype(np.float32) * s1
+    resid = (x - deq1).astype(np.float32)
+    c2, s2 = _np_quantize_rows_int8(resid)
+    g1max = np.float32(np.linalg.norm(deq1, axis=1).max())
+    rmax = np.float32(np.linalg.norm(resid, axis=1).max())
+    return c1, s1, c2, s2, g1max, rmax
 
 
 class GalleryIndex:
@@ -263,7 +281,18 @@ class GalleryIndex:
                 put = lambda a: put_row_sharded(a, mesh)  # noqa: E731
             else:
                 put = jnp.asarray
-            if matmul_dtype == "int8":
+            if matmul_dtype == "int8_rerank":
+                if mesh is not None:
+                    raise ValueError(
+                        "matmul_dtype='int8_rerank' does not support mesh "
+                        "sharding yet; use 'int8' for sharded capacity or "
+                        "query unsharded")
+                c1, s1, c2, s2, g1m, rm = _np_quantize_rows_int8_residual(
+                    emb)
+                self._device_gallery[key] = (
+                    put(c1), put(s1), put(c2), put(s2),
+                    jnp.asarray(g1m), jnp.asarray(rm))
+            elif matmul_dtype == "int8":
                 codes, scales = _np_quantize_rows_int8(emb)
                 if pad:
                     codes = np.pad(codes, ((0, pad), (0, 0)))
@@ -293,6 +322,7 @@ class GalleryIndex:
 
     def query(self, queries, k: int = 150, *, method: str = "exact",
               matmul_dtype: str = "float32", mesh=None,
+              precision: str = "default", shortlist: int = 256,
               interpret: bool = False
               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Rank the gallery for (Q, dim) query embeddings.
@@ -303,6 +333,13 @@ class GalleryIndex:
         ``matmul_dtype='bfloat16'``/``'int8'`` are the serving modes (exact
         top-k of bf16-rounded / int8-quantized MXU scores at half / quarter
         the gallery bytes; ~f32 ranking up to near-ties).
+        ``matmul_dtype='int8_rerank'`` is the certified two-stage capacity
+        mode: int8 fused top-``shortlist`` then a two-level-dequantized
+        f32-faithful re-rank (:func:`ops.retrieval.int8_rerank_topk`) —
+        ~f32-exact ranking at int8 streaming speed, bf16 memory.
+        ``precision='highest'`` (f32 mode) computes torch-f32-faithful
+        scores on TPU instead of the default one-pass bf16-truncated
+        matmul — see :func:`cosine_topk`.
         With ``mesh``, the gallery is sharded over the mesh's 'data' axis
         and ranked per-shard with an all-gather merge (exact).
         """
@@ -317,6 +354,24 @@ class GalleryIndex:
                 " path is exact-only")
         q = jnp.asarray(np.asarray(queries, dtype=np.float32))
         k = min(k, len(self))
+        if matmul_dtype == "int8_rerank":
+            if mesh is not None:
+                raise ValueError("matmul_dtype='int8_rerank' does not "
+                                 "support mesh sharding yet")
+            if method != "exact":
+                raise ValueError("int8_rerank is an exact re-rank mode; "
+                                 f"method={method!r} is not supported")
+            if precision != "default":
+                raise ValueError("int8_rerank already re-ranks at "
+                                 "Precision.HIGHEST; the precision knob "
+                                 "applies to float32 mode only")
+            c1, s1, c2, s2, g1m, rm = self._gallery_on_device(matmul_dtype)
+            vals, inds, _ = int8_rerank_topk(
+                q, c1, s1, c2, s2, k, shortlist=shortlist,
+                gallery_norm_bound=g1m, residual_norm_bound=rm,
+                interpret=interpret)
+            vals, inds = np.asarray(vals), np.asarray(inds)
+            return vals, inds, self.classes[inds]
         if mesh is None:
             # single-device: query against the compact prepared form (only
             # that form is device-resident — the whole point of int8/bf16)
@@ -326,6 +381,7 @@ class GalleryIndex:
             vals, inds = cosine_topk(q, g, k, method=method,
                                      matmul_dtype=matmul_dtype,
                                      gallery_scale=g_scale,
+                                     precision=precision,
                                      interpret=interpret)
             vals, inds = np.asarray(vals), np.asarray(inds)
             return vals, inds, self.classes[inds]
@@ -346,6 +402,7 @@ class GalleryIndex:
         vals, inds = sharded_cosine_topk(q, g, kk, mesh,
                                          matmul_dtype=matmul_dtype,
                                          gallery_scale=g_scale,
+                                         precision=precision,
                                          interpret=interpret)
         if pad:
             vals, inds = _drop_pad_rows(vals, inds, len(self), k)

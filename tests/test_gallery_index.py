@@ -367,3 +367,83 @@ class TestShardedDtype:
         _, i2, _ = idx.query(q, k=3, matmul_dtype="int8")
         np.testing.assert_array_equal(inds, i2)
 
+
+
+class TestPrecisionPassthrough:
+    def test_query_precision_highest_matches_default_on_cpu(self, data):
+        # CPU f32 is true f32 under both settings; this pins the knob's
+        # plumbing through GalleryIndex.query (and via mesh, the sharded
+        # path) — the on-chip cost/agreement study is
+        # tools/precision_agreement.py (PERF.md 'Matmul precision').
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        v0, i0, _ = idx.query(q, k=10)
+        v1, i1, _ = idx.query(q, k=10, precision="highest")
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_array_equal(v0, v1)
+        mesh = make_mesh()
+        v2, i2, _ = idx.query(q, k=10, mesh=mesh, precision="highest")
+        np.testing.assert_array_equal(i0, i2)
+
+    def test_query_precision_rejected_for_quantized_modes(self, data):
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        with pytest.raises(ValueError, match="float32 score path"):
+            idx.query(q, k=10, matmul_dtype="int8", precision="highest")
+
+
+class TestInt8RerankMode:
+    def test_query_matches_f32_exact(self, data):
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        v0, i0, c0 = idx.query(q, k=10)
+        v1, i1, c1 = idx.query(q, k=10, matmul_dtype="int8_rerank")
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(v0, v1, atol=5e-5)
+        np.testing.assert_array_equal(c0, c1)
+
+    def test_class_dedup_passthrough(self, data):
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        v, i, cls = idx.query_class_dedup(q, k=20, num_unique=3,
+                                          matmul_dtype="int8_rerank")
+        vr, ir, cr = idx.query_class_dedup(q, k=20, num_unique=3)
+        np.testing.assert_array_equal(i, ir)
+
+    def test_mode_validation(self, data):
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        with pytest.raises(ValueError, match="exact re-rank"):
+            idx.query(q, k=5, matmul_dtype="int8_rerank", method="approx")
+        with pytest.raises(ValueError, match="HIGHEST"):
+            idx.query(q, k=5, matmul_dtype="int8_rerank",
+                      precision="highest")
+        with pytest.raises(ValueError, match="mesh"):
+            idx.query(q, k=5, matmul_dtype="int8_rerank",
+                      mesh=make_mesh())
+
+    def test_resident_form_is_two_int8_planes(self, data):
+        q, g, c = data
+        idx = GalleryIndex(32).add(g, c)
+        idx.query(q, k=5, matmul_dtype="int8_rerank")
+        (key,) = idx._device_gallery
+        c1, s1, c2, s2, g1m, rm = idx._device_gallery[key]
+        assert c1.dtype == jnp.int8 and c2.dtype == jnp.int8
+        assert s1.shape == (len(idx), 1) and s2.shape == (len(idx), 1)
+
+    def test_np_jnp_residual_quantizers_agree_bitwise(self, data):
+        from imageretrievalresearch_tpu.ops.retrieval import (
+            quantize_rows_int8_residual,
+        )
+        from imageretrievalresearch_tpu.retrieval.index import (
+            _np_quantize_rows_int8_residual,
+        )
+        _, g, _ = data
+        emb = np.asarray(l2_normalize(jnp.asarray(g)))
+        host = _np_quantize_rows_int8_residual(emb)
+        dev = quantize_rows_int8_residual(jnp.asarray(emb))
+        for h, d in zip(host[:4], dev[:4]):   # codes + scales: bitwise
+            np.testing.assert_array_equal(np.asarray(h), np.asarray(d))
+        for h, d in zip(host[4:], dev[4:]):   # norm bounds: f32 accum order
+            np.testing.assert_allclose(float(h), float(np.asarray(d)),
+                                       rtol=1e-6)

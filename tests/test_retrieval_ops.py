@@ -319,3 +319,143 @@ class TestPallasScores:
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestPrecision:
+    """The matmul-precision knob (VERDICT r4 task 2).
+
+    On TPU, precision='default' scores nominal-f32 matmuls with one
+    bf16-truncated MXU pass; 'highest' runs the multi-pass f32-faithful
+    algorithm (reference torch-f32 score parity). On CPU both are true
+    f32, so these tests pin the PLUMBING (same program semantics, bitwise
+    identical results, validation); the on-chip agreement/cost study is
+    tools/precision_agreement.py, recorded in PERF.md.
+    """
+
+    def test_cpu_default_equals_highest_bitwise(self, rng):
+        q, g = _qg(rng)
+        v0, i0 = cosine_topk(q, g, 10)
+        v1, i1 = cosine_topk(q, g, 10, precision="highest")
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+    def test_fused_interpret_highest_matches_dense_highest(self, rng):
+        q, g = _qg(rng, q=24, g=2100)
+        v1, i1 = cosine_topk(q, g, 10, method="fused", interpret=True,
+                             precision="highest")
+        v2, i2 = cosine_topk(q, g, 10, method="dense",
+                             precision="highest")
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_highest_rejected_for_quantized_modes(self, rng):
+        q, g = _qg(rng)
+        for dtype in ("bfloat16", "int8"):
+            with pytest.raises(ValueError, match="float32 score path"):
+                cosine_topk(q, g, 5, matmul_dtype=dtype,
+                            precision="highest")
+
+    def test_unknown_precision_rejected(self, rng):
+        q, g = _qg(rng)
+        with pytest.raises(ValueError, match="unknown precision"):
+            cosine_topk(q, g, 5, precision="tf32")
+
+    def test_cosine_scores_precision(self, rng):
+        q, g = _qg(rng)
+        s0 = np.asarray(cosine_scores(q, g))
+        s1 = np.asarray(cosine_scores(q, g, precision="highest"))
+        np.testing.assert_array_equal(s0, s1)
+
+
+class TestInt8Rerank:
+    """The certified two-stage int8 serving mode (VERDICT r4 task 3):
+    int8 fused shortlist -> two-level-dequantized f32-faithful re-rank.
+    CPU tests pin exactness of the machinery; the at-scale (1M) fidelity
+    and throughput study is tools/rerank_scale.py, recorded in PERF.md."""
+
+    def _prep(self, rng, g_rows, d=64):
+        from imageretrievalresearch_tpu.ops.retrieval import (
+            quantize_rows_int8_residual,
+        )
+        g = rng.normal(size=(g_rows, d)).astype(np.float32)
+        q = rng.normal(size=(40, d)).astype(np.float32)
+        return q, g, quantize_rows_int8_residual(l2_normalize(
+            jnp.asarray(g)))
+
+    def test_two_level_reconstruction_beats_int8(self, rng):
+        from imageretrievalresearch_tpu.ops.retrieval import (
+            quantize_rows_int8_residual,
+        )
+        x = l2_normalize(jnp.asarray(
+            rng.normal(size=(200, 96)).astype(np.float32)))
+        c1, s1, c2, s2, g1m, rm = quantize_rows_int8_residual(x)
+        rec2 = (np.asarray(c1, np.float32) * np.asarray(s1)
+                + np.asarray(c2, np.float32) * np.asarray(s2))
+        rec1 = np.asarray(c1, np.float32) * np.asarray(s1)
+        e2 = np.abs(rec2 - np.asarray(x)).max()
+        e1 = np.abs(rec1 - np.asarray(x)).max()
+        assert e2 < e1 / 100          # ~254x by design
+        assert e2 < 2e-5
+        # the certificate's norm bounds really bound the row norms
+        assert np.linalg.norm(rec1, axis=1).max() <= float(g1m) + 1e-6
+        assert np.linalg.norm(np.asarray(x) - rec1,
+                              axis=1).max() <= float(rm) + 1e-6
+
+    def test_matches_f32_exact_ranking(self, rng):
+        from imageretrievalresearch_tpu.ops.retrieval import (
+            int8_rerank_topk,
+        )
+        q, g, (c1, s1, c2, s2, g1m, rm) = self._prep(rng, 3000)
+        v, i, m = int8_rerank_topk(jnp.asarray(q), c1, s1, c2, s2, 10,
+                                   shortlist=64)
+        vr, ir = cosine_topk(q, g, 10)           # true f32 on CPU
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+        np.testing.assert_allclose(np.asarray(v), np.asarray(vr),
+                                   atol=5e-5)
+
+    def test_fused_interpret_stage1(self, rng):
+        from imageretrievalresearch_tpu.ops.retrieval import (
+            int8_rerank_topk,
+        )
+        q, g, (c1, s1, c2, s2, g1m, rm) = self._prep(rng, 2100)
+        v, i, m = int8_rerank_topk(jnp.asarray(q), c1, s1, c2, s2, 10,
+                                   shortlist=256, interpret=True)
+        vr, ir = cosine_topk(q, g, 10)
+        assert float((np.asarray(i)[:, 0]
+                      == np.asarray(ir)[:, 0]).mean()) == 1.0
+
+    def test_certificate_soundness(self, rng):
+        """Rows whose signed margin certifies (> 0) must equal the exact
+        full-gallery top-k of the two-level refined scores."""
+        from imageretrievalresearch_tpu.ops.retrieval import (
+            int8_rerank_topk, quantize_rows_int8,
+        )
+        q, g, (c1, s1, c2, s2, g1m, rm) = self._prep(rng, 3000)
+        v, i, m = int8_rerank_topk(jnp.asarray(q), c1, s1, c2, s2, 10,
+                                   shortlist=32,   # small: stress misses
+                                   gallery_norm_bound=g1m,
+                                   residual_norm_bound=rm)
+        # dense full-gallery refined reference (same arithmetic)
+        q_hat = l2_normalize(jnp.asarray(q))
+        rec = (np.asarray(c1, np.float32) * np.asarray(s1)
+               + np.asarray(c2, np.float32) * np.asarray(s2))
+        sims = np.asarray(q_hat) @ rec.T
+        ref_i = np.argsort(-sims, axis=1, kind="stable")[:, :10]
+        cert = np.asarray(m) > 0
+        assert cert.any()             # the bound is useful at this scale
+        np.testing.assert_array_equal(np.asarray(i)[cert], ref_i[cert])
+
+    def test_shortlist_at_least_k_and_clamped(self, rng):
+        from imageretrievalresearch_tpu.ops.retrieval import (
+            int8_rerank_topk,
+        )
+        q, g, (c1, s1, c2, s2, g1m, rm) = self._prep(rng, 300)
+        # shortlist < k silently raised to k; shortlist > G clamped
+        v, i, m = int8_rerank_topk(jnp.asarray(q), c1, s1, c2, s2, 20,
+                                   shortlist=8)
+        assert v.shape == (40, 20)
+        v2, i2, m2 = int8_rerank_topk(jnp.asarray(q), c1, s1, c2, s2, 20,
+                                      shortlist=4096)
+        vr, ir = cosine_topk(q, g, 20)
+        np.testing.assert_array_equal(np.asarray(i2), np.asarray(ir))
