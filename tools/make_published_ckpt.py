@@ -92,12 +92,20 @@ def build_torch_replica(model_name: str, num_classes: int = PUBLISHED_NUM_CLASSE
 def make_lightning_ckpt(model_name: str, out_path: str, *,
                         num_classes: int = PUBLISHED_NUM_CLASSES,
                         seed: int = 0, opt_steps: int = 2, epoch: int = 35,
-                        weights_only: bool = True) -> str:
-    """Build the checkpoint file; returns ``out_path``."""
+                        weights_only: bool = True, model=None) -> str:
+    """Build the checkpoint file; returns ``out_path``.
+
+    ``model`` overrides the full-size replica (e.g. a shrunken-width
+    torch model for the fast, every-round ingestion drill in
+    tests/test_published_fast.py); the on-disk LAYOUT — torch.save zip,
+    ``model.`` prefixes, PL metadata, optimizer/scheduler/callback
+    states — is identical either way.
+    """
     import torch
 
     torch.manual_seed(seed)
-    model = build_torch_replica(model_name, num_classes)
+    if model is None:
+        model = build_torch_replica(model_name, num_classes)
 
     optimizer = torch.optim.AdamW(model.parameters(), **OPTIMIZER_HPARAMS)
     scheduler = torch.optim.lr_scheduler.MultiStepLR(
