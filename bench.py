@@ -120,14 +120,21 @@ def _pipelined_qps(call, *, n_iter: int = 20, repeats: int = 5,
 def bench_tpu_retrieval(matmul_dtype: str = "float32",
                         per_call: bool = False) -> float:
     import jax
+    import jax.numpy as jnp
 
     from imageretrievalresearch_tpu.ops.retrieval import cosine_topk
 
     queries, gallery = _device_embeddings()
+    # serving form (as GalleryIndex keeps it): gallery norms precomputed
+    # at build time — recomputing them per call costs one extra full
+    # gallery read (round-5 attribution, tools/profile_fused_kernel.py)
+    gnorm = jnp.linalg.norm(gallery, axis=1)
+    jax.block_until_ready(gnorm)
 
     def call():
         v, _ = cosine_topk(queries, gallery, K, query_block=512,
-                           matmul_dtype=matmul_dtype)
+                           matmul_dtype=matmul_dtype,
+                           gallery_norms=gnorm)
         return v
 
     if not per_call:
@@ -323,6 +330,50 @@ def bench_gallery_1m_int8() -> float:
     return _pipelined_qps(call, n_iter=10)
 
 
+def bench_gallery_1m_int8_rerank() -> float:
+    """Certified-capacity serving metric: ``int8_rerank`` (fused int8
+    shortlist -> two-level refined re-rank, VERDICT r4 task 3) qps on a
+    1,000,000 x 1536 gallery — top-1 agreement vs true-f32 exact is
+    1.0000 at this scale (PERF.md 'int8 -> refined re-rank'). Codes
+    generated + quantized on device like :func:`bench_gallery_1m_int8`;
+    residual codes resident in the packed-int32 serving form."""
+    import jax
+    import jax.numpy as jnp
+
+    from imageretrievalresearch_tpu.ops.retrieval import (
+        int8_rerank_topk,
+        l2_normalize,
+        pack_codes_int32,
+        quantize_rows_int8_residual,
+    )
+
+    n = 1_000_000
+    quants = []
+    for i in range(4):
+        g = jax.random.normal(jax.random.key(10 + i), (n // 4, DIM))
+        qt = quantize_rows_int8_residual(l2_normalize(g))
+        jax.block_until_ready(qt[0])
+        quants.append(qt)
+    codes = jnp.concatenate([q[0] for q in quants])
+    scales = jnp.concatenate([q[1] for q in quants])
+    res_codes = pack_codes_int32(jnp.concatenate([q[2] for q in quants]))
+    res_scales = jnp.concatenate([q[3] for q in quants])
+    g1m = jnp.max(jnp.stack([q[4] for q in quants]))
+    rm = jnp.max(jnp.stack([q[5] for q in quants]))
+    del quants
+    gc.collect()
+    queries = jax.random.normal(jax.random.key(1), (QUERIES, DIM))
+
+    def call():
+        v, _, _ = int8_rerank_topk(queries, codes, scales, res_codes,
+                                   res_scales, K, shortlist=256,
+                                   gallery_norm_bound=g1m,
+                                   residual_norm_bound=rm)
+        return v
+
+    return _pipelined_qps(call, n_iter=10)
+
+
 def _run_metric(fn, out: dict, key: str, *, retries: int = 0,
                 round_to: int = 2, **kw):
     """Run one optional metric; on failure record ``-1.0`` AND the reason.
@@ -375,6 +426,9 @@ def main() -> int | None:
     gc.collect()
     _run_metric(bench_gallery_1m_int8, out, "gallery_1m_int8_qps",
                 retries=1, round_to=1)
+    gc.collect()   # drop the pure-int8 codes before the two-level build
+    _run_metric(bench_gallery_1m_int8_rerank, out,
+                "gallery_1m_rerank_qps", retries=1, round_to=1)
     print(json.dumps({
         "metric": "retrieval_qps_100k_gallery_top150",
         # headline = pipelined steady-state (see _pipelined_qps: the old
@@ -395,7 +449,11 @@ def main() -> int | None:
         # (VERDICT r4 task 6): pipelined = back-to-back async dispatches
         # fenced once; galleries serving-resident (bf16 pre-normalized,
         # int8 pre-quantized); fused kernel geometry below
-        "protocol": "pipelined-v2 q512/g512/t6 k150 Q2048",
+        # v3 (round 5): gallery-side kernel inputs unpadded (Mosaic
+        # partial blocks; the pad was a per-call 616 MB copy) and the f32
+        # mode scores with build-time-precomputed gallery norms, as served
+        "protocol": "pipelined-v3 q512/g512/t6 k150 Q2048 "
+                    "nopad prenorm-f32",
     }))
 
 

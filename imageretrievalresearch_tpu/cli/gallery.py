@@ -615,9 +615,14 @@ def _make_server(args):
     rerank = args.matmul_dtype == "int8_rerank"
     if rerank:
         gallery_args = prepared                 # 6-tuple, see GalleryIndex
+    elif args.matmul_dtype == "float32":
+        # (gallery, build-time norms) — norms ride as gallery_norms, not
+        # gallery_scale
+        gallery_args = (prepared[0], None, prepared[1])
     else:
-        gallery_args = (prepared if isinstance(prepared, tuple)
-                        else (prepared, None))
+        g, gs = (prepared if isinstance(prepared, tuple)
+                 else (prepared, None))
+        gallery_args = (g, gs, None)
     classes_dev = idx._classes_on_device()
 
     @functools.partial(jax.jit, static_argnames=("nu",))
@@ -629,11 +634,12 @@ def _make_server(args):
                 q.astype(jnp.float32), c1, s1, c2, s2, k,
                 gallery_norm_bound=g1m, residual_norm_bound=rm)
         else:
-            g, g_scale = gallery_args
+            g, g_scale, g_norms = gallery_args
             vals, inds = cosine_topk(q.astype(jnp.float32), g, k,
                                      method=args.method,
                                      matmul_dtype=args.matmul_dtype,
-                                     gallery_scale=g_scale)
+                                     gallery_scale=g_scale,
+                                     gallery_norms=g_norms)
         if nu:
             uniq = jax.vmap(lambda i, v: M.unique_class_dedup(
                 i, v, classes, num_unique=nu))(inds, vals)

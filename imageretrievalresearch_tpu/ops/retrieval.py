@@ -450,9 +450,15 @@ def dense_scores(q_hat, gallery, matmul_dtype, gallery_scale=None,
 # physical). Larger q tiles (1024/2048) gain nothing further: with 4
 # tiles the re-stream DMA already overlaps compute. q_tile adapts down
 # for small query batches so serving-sized requests don't pad to 512.
+# Round-5 attribution (tools/profile_fused_kernel.py): the kernel itself
+# is 7.0 ms (DMA 4.6 / matmul +0.2 / insertion +0.4 / extraction +1.75);
+# the old 9.0 ms call carried a per-call 616 MB gallery PAD copy (now
+# removed — Mosaic partial blocks + the g_real mask make it redundant)
+# and a per-call norm recompute (now optional via gallery_norms).
 FUSED_G_TILE = 512
 FUSED_T_DEPTH = 6
 FUSED_Q_TILE_MAX = 512
+FUSED_VMEM_BUDGET = 64 * 1024 * 1024   # v5e: 128 MB physical
 
 
 def fused_cosine_topk_pallas(
@@ -460,6 +466,7 @@ def fused_cosine_topk_pallas(
         *, q_tile: int | None = None, g_tile: int = FUSED_G_TILE,
         t_depth: int = FUSED_T_DEPTH,
         matmul_dtype: str = "float32", gallery_scale: jax.Array | None = None,
+        gallery_norms: jax.Array | None = None,
         precision: str = "default",
         interpret: bool = False
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
@@ -524,18 +531,29 @@ def fused_cosine_topk_pallas(
         # Mosaic's default 16 MB budget; v5e has 128 MB physical — raise
         # the budget so tile choice is set by measurement, not the cap
         common["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024)
+            vmem_limit_bytes=FUSED_VMEM_BUDGET)
+    # Gallery-side inputs are passed UNPADDED: Mosaic handles a final
+    # partial block itself, and the kernels mask every out-of-range lane
+    # by ``idx < g_real``. Padding here was a full per-call gallery
+    # read+write copy — dropping it took the production f32 call from
+    # 9.0 to 7.3 ms at 100k x 1536 (tools/profile_fused_kernel.py notes;
+    # results bit-identical). The interpret (CPU test) path still pads:
+    # pallas interpret mode zero-fills partial blocks, but a zero norm
+    # row would hit the eps clamp differently than Mosaic's undefined
+    # tail, and interpret correctness must be exact.
+    def gpad(a, fill=0):
+        if not interpret or gp == g:
+            return a
+        return jnp.pad(a, ((0, gp - g), (0, 0)), constant_values=fill)
+
     if int8:
         qq, qs = quantize_rows_int8(qh)
         if gallery.dtype == jnp.int8:
-            # pre-quantized (serving-resident) gallery: zero pad codes,
-            # pad scales with anything — pad rows are masked by g_real
-            gq = jnp.pad(gallery, ((0, gp - g), (0, 0)))
-            gs = jnp.pad(gallery_scale.astype(jnp.float32),
-                         ((0, gp - g), (0, 0)))
+            gq = gpad(gallery)
+            gs = gpad(gallery_scale.astype(jnp.float32), 1.0)
         else:
-            gq, gs = quantize_rows_int8(
-                jnp.pad(l2_normalize(gallery), ((0, gp - g), (0, 0))))
+            gq, gs = quantize_rows_int8(l2_normalize(gallery))
+            gq, gs = gpad(gq), gpad(gs, 1.0)
         kernel = functools.partial(_fused_topk_kernel_int8, k=k,
                                    t_depth=t_depth, g_real=g)
         vals, inds, ok = pl.pallas_call(
@@ -560,9 +578,9 @@ def fused_cosine_topk_pallas(
         return vals[:q], inds[:q], ok[:q, 0]
     if bf16:
         if gallery.dtype == jnp.bfloat16:   # pre-normalized serving form
-            g_hat = jnp.pad(gallery, ((0, gp - g), (0, 0)))
+            g_hat = gpad(gallery)
         else:
-            g_hat = jnp.pad(l2_normalize(gallery), ((0, gp - g), (0, 0)))
+            g_hat = gpad(l2_normalize(gallery))
         kernel = functools.partial(_fused_topk_kernel_bf16, k=k,
                                    t_depth=t_depth, g_real=g)
         vals, inds, ok = pl.pallas_call(
@@ -581,8 +599,13 @@ def fused_cosine_topk_pallas(
             **common,
         )(qh.astype(jnp.bfloat16), g_hat.astype(jnp.bfloat16))
     else:
-        gh = jnp.pad(gallery.astype(jnp.float32), ((0, gp - g), (0, 0)))
-        gnorm = jnp.linalg.norm(gh, axis=1)[:, None]         # (GP, 1)
+        gh = gpad(gallery.astype(jnp.float32))
+        if gallery_norms is not None:
+            # serving form: norms precomputed at gallery-build time — the
+            # per-call norm recompute is one extra full gallery read
+            gnorm = gpad(gallery_norms.reshape(-1, 1), 1.0)
+        else:
+            gnorm = jnp.linalg.norm(gh, axis=1)[:, None]
         kernel = functools.partial(_fused_topk_kernel, k=k, t_depth=t_depth,
                                    g_real=g,
                                    dot_precision=_dot_precision(precision))
@@ -674,6 +697,7 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
                 recall_target: float = 0.95,
                 matmul_dtype: str = "float32",
                 gallery_scale: jax.Array | None = None,
+                gallery_norms: jax.Array | None = None,
                 precision: str = "default"
                 ) -> tuple[jax.Array, jax.Array]:
     """Top-k cosine retrieval: (Q, D) × (G, D) -> (vals, inds) each (Q, k).
@@ -711,6 +735,12 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
       is stream-bound) and holds 4x the items per chip. Top-k is exact
       for the quantized scores; measured ranking quality vs f32 is near-
       perfect on unit-norm embeddings (see PERF.md).
+    - ``gallery_norms`` (f32 mode only): the gallery's row L2 norms,
+      precomputed at gallery-build time (GalleryIndex serving form) —
+      skips the per-call norm recompute, one full extra gallery read
+      (~0.8 ms at 100k x 1536; PERF.md round-5 attribution). Must be
+      ``linalg.norm(gallery, axis=1)`` of the SAME gallery; rankings are
+      bit-identical with or without.
     - ``precision`` (f32 mode only): ``'default'`` scores with JAX's
       default matmul precision — on TPU that is ONE bf16-truncated MXU
       pass per f32 matmul (~3x the true-f32 rate; near-tie rankings can
@@ -748,6 +778,13 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
     def dense_rank(q_hat):
         if use_pallas:
             g_for_scores = gallery.astype(jnp.float32)
+        elif (matmul_dtype == "float32" and gallery_norms is not None
+              and gallery.dtype != jnp.bfloat16):
+            # serving form: reuse the build-time norms instead of a full
+            # extra gallery pass (same clamped-eps arithmetic)
+            g_prep = gallery.astype(jnp.float32) / jnp.maximum(
+                gallery_norms.reshape(-1, 1), COSINE_SIM_EPS)
+            gs_prep = None
         else:
             # prepare once, outside the query-block loop
             g_prep, gs_prep = _prepare_gallery(gallery, matmul_dtype,
@@ -782,6 +819,7 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
     vals, inds, ok = fused_cosine_topk_pallas(q_hat, gallery, k,
                                               matmul_dtype=matmul_dtype,
                                               gallery_scale=gallery_scale,
+                                              gallery_norms=gallery_norms,
                                               precision=precision,
                                               interpret=interpret)
 
@@ -792,13 +830,41 @@ def cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
                                  full_fallback=lambda: dense_rank(q_hat))
 
 
+def pack_codes_int32(codes) -> jax.Array:
+    """Pack an (G, D) int8 code matrix into (G, D/4) int32 lanes — the
+    serving-resident form of the ``int8_rerank`` RESIDUAL codes.
+
+    TPU row-gather cost scales with gathered ELEMENT count, not bytes
+    (measured on chip, tools/gather_bench.py at 1M x 1536, 524k rows:
+    direct int8 gather 15.4 ms vs 8.3 ms for the same bytes as packed
+    int32 lanes). Same byte layout as the int8 matrix — on host this is
+    a free numpy view; as a traced op it is one bitcast. D must be a
+    multiple of 4 (all supported embedding widths are)."""
+    import numpy as np
+
+    g, d = codes.shape
+    if d % 4:
+        raise ValueError(f"D={d} not a multiple of 4")
+    if isinstance(codes, np.ndarray):
+        return np.ascontiguousarray(codes).view(np.int32)
+    return jax.lax.bitcast_convert_type(
+        codes.reshape(g, d // 4, 4), jnp.int32)
+
+
+def _unpack_codes_int32(rows: jax.Array) -> jax.Array:
+    """(…, D/4) int32 packed rows -> (…, D) int8 (bit-exact round trip
+    of :func:`pack_codes_int32`)."""
+    out = jax.lax.bitcast_convert_type(rows, jnp.int8)  # (…, D/4, 4)
+    return out.reshape(*rows.shape[:-1], rows.shape[-1] * 4)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "shortlist", "rerank_block",
                                     "interpret"))
 def int8_rerank_topk(queries: jax.Array, codes: jax.Array,
                      scales: jax.Array, res_codes: jax.Array,
                      res_scales: jax.Array, k: int,
-                     *, shortlist: int = 256, rerank_block: int = 256,
+                     *, shortlist: int = 256, rerank_block: int = 128,
                      gallery_norm_bound: jax.Array | None = None,
                      residual_norm_bound: jax.Array | None = None,
                      interpret: bool = False
@@ -825,14 +891,19 @@ def int8_rerank_topk(queries: jax.Array, codes: jax.Array,
        (ties keep stage-1 quantized-rank order — lowest global index
        within equal quantized scores).
 
+    ``res_codes`` may be the plain (G, D) int8 residual matrix or its
+    packed (G, D/4) int32 form (:func:`pack_codes_int32` — same bytes,
+    4x fewer gathered elements; the serving layer stores it packed).
+
     ``margin[q] = refined k-th value − quantized shortlist-th value``: the
     score cushion an outside-shortlist item would need to overcome. With
     the quantize-time norm bounds supplied, ``margin[q] > B_q`` (where
     ``B_q = ||q − q̂|| · max_g||ĝ|| + ||q|| · max_g||res_g||``, Cauchy-
     Schwarz) PROVES the result equals the full-gallery refined top-k for
-    that query; the bound is worst-case (~30x the typical noise — PERF.md
-    'int8→refined re-rank'), so un-certified rows are overwhelmingly
-    still exact. Memory: 2 G·D bytes resident (primary + residual) — half
+    that query. The bound is worst-case: on 1M random unit embeddings the
+    rank-c..k score gap sits below it, so ~0% of rows certify there while
+    MEASURED exactness is 1.0000 top-1 / 0.99992 top-150 overlap (PERF.md
+    'int8→refined re-rank'); wider-margin galleries do certify. Memory: 2 G·D bytes resident (primary + residual) — half
     of f32, equal to bf16, with stage 1 streaming half of bf16's bytes.
 
     Reference semantics anchor: training_analysis.ipynb cell 2
@@ -859,11 +930,20 @@ def int8_rerank_topk(queries: jax.Array, codes: jax.Array,
                 dense_scores(qblk, codes, "int8", scales), c), q_blk)
         return (v.reshape(qp1, -1)[:q], i.reshape(qp1, -1)[:q])
 
+    # bin-buffer depth scaled to the shortlist: at the default t=6 a
+    # k=256 request fails the exactness certificate on ~0.5% of rows
+    # (Binom(256, 1/512) > 6, union over 512 bins), which made the
+    # bounded repair re-stream the full gallery on EVERY call (+40 ms at
+    # 1M, measured). t=8 puts the k=256 union bound at ~3e-7/row and
+    # t=10 covers k=512 (~5e-5/row), so the repair cond stays on its
+    # free branch. Two extra compare/swap depths cost ~1 ms/call.
+    t_depth = (FUSED_T_DEPTH + (2 if c > 150 else 0)
+               + (2 if c > 384 else 0))
     if ((jax.default_backend() == "tpu" or interpret)
-            and _fused_eligible(q, g, d, c, FUSED_G_TILE, FUSED_T_DEPTH)):
+            and _fused_eligible(q, g, d, c, FUSED_G_TILE, t_depth)):
         v1, i1, ok = fused_cosine_topk_pallas(
             q_hat, codes, c, matmul_dtype="int8", gallery_scale=scales,
-            interpret=interpret)
+            t_depth=t_depth, interpret=interpret)
         v1, i1 = certified_topk_repair(
             q_hat, codes, c, v1, i1, ok, matmul_dtype="int8",
             gallery_scale=scales,
@@ -881,8 +961,15 @@ def int8_rerank_topk(queries: jax.Array, codes: jax.Array,
 
     def rerank(args):
         qblk, iblk = args                          # (B, D), (B, c)
+        # primary rows gather directly from the int8 stage-1 array (no
+        # second resident copy); residual rows gather as packed int32
+        # lanes when the serving layer stored them packed (4x fewer
+        # gathered elements — tools/gather_bench.py)
         c1 = codes[iblk].astype(jnp.float32)       # (B, c, D)
-        c2 = res_codes[iblk].astype(jnp.float32)
+        if res_codes.dtype == jnp.int32:
+            c2 = _unpack_codes_int32(res_codes[iblk]).astype(jnp.float32)
+        else:
+            c2 = res_codes[iblk].astype(jnp.float32)
         s1 = scales[iblk][..., 0]                  # (B, c)
         s2 = res_scales[iblk][..., 0]
         # HIGHEST: the default one-pass bf16 truncation of the f32 query

@@ -39,6 +39,7 @@ from imageretrievalresearch_tpu.ops.retrieval import (
     cosine_topk,
     int8_rerank_topk,
     l2_normalize,
+    pack_codes_int32,
 )
 
 _FORMAT_VERSION = 1          # raw f32 embeddings
@@ -289,8 +290,10 @@ class GalleryIndex:
                         "query unsharded")
                 c1, s1, c2, s2, g1m, rm = _np_quantize_rows_int8_residual(
                     emb)
+                # residual codes resident in packed-int32 form: same
+                # bytes, 4x fewer elements per stage-2 row gather
                 self._device_gallery[key] = (
-                    put(c1), put(s1), put(c2), put(s2),
+                    put(c1), put(s1), put(pack_codes_int32(c2)), put(s2),
                     jnp.asarray(g1m), jnp.asarray(rm))
             elif matmul_dtype == "int8":
                 codes, scales = _np_quantize_rows_int8(emb)
@@ -308,6 +311,12 @@ class GalleryIndex:
                 if pad:
                     g = np.pad(g, ((0, pad), (0, 0)))
                 self._device_gallery[key] = put(g)
+            elif mesh is None:
+                # f32 serving form: norms precomputed at build time — the
+                # per-call recompute inside cosine_topk costs one extra
+                # full gallery read (round-5 kernel attribution, PERF.md)
+                norms = np.linalg.norm(emb, axis=1).astype(np.float32)
+                self._device_gallery[key] = (put(emb), jnp.asarray(norms))
             else:
                 g = np.pad(emb, ((0, pad), (0, 0))) if pad else emb
                 self._device_gallery[key] = put(g)
@@ -376,11 +385,17 @@ class GalleryIndex:
             # single-device: query against the compact prepared form (only
             # that form is device-resident — the whole point of int8/bf16)
             prepared = self._gallery_on_device(matmul_dtype)
-            g, g_scale = (prepared if isinstance(prepared, tuple)
-                          else (prepared, None))
+            g_norms = None
+            if matmul_dtype == "float32":
+                g, g_norms = prepared
+                g_scale = None
+            else:
+                g, g_scale = (prepared if isinstance(prepared, tuple)
+                              else (prepared, None))
             vals, inds = cosine_topk(q, g, k, method=method,
                                      matmul_dtype=matmul_dtype,
                                      gallery_scale=g_scale,
+                                     gallery_norms=g_norms,
                                      precision=precision,
                                      interpret=interpret)
             vals, inds = np.asarray(vals), np.asarray(inds)

@@ -422,13 +422,16 @@ class TestInt8RerankMode:
             idx.query(q, k=5, matmul_dtype="int8_rerank",
                       mesh=make_mesh())
 
-    def test_resident_form_is_two_int8_planes(self, data):
+    def test_resident_form_is_int8_plus_packed_residual(self, data):
         q, g, c = data
         idx = GalleryIndex(32).add(g, c)
         idx.query(q, k=5, matmul_dtype="int8_rerank")
         (key,) = idx._device_gallery
         c1, s1, c2, s2, g1m, rm = idx._device_gallery[key]
-        assert c1.dtype == jnp.int8 and c2.dtype == jnp.int8
+        # primary codes int8 (the stage-1 stream form); residual codes
+        # packed int32 (same bytes, 4x fewer stage-2 gather elements)
+        assert c1.dtype == jnp.int8
+        assert c2.dtype == jnp.int32 and c2.shape == (len(idx), 32 // 4)
         assert s1.shape == (len(idx), 1) and s2.shape == (len(idx), 1)
 
     def test_np_jnp_residual_quantizers_agree_bitwise(self, data):

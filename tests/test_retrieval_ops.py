@@ -459,3 +459,49 @@ class TestInt8Rerank:
                                       shortlist=4096)
         vr, ir = cosine_topk(q, g, 20)
         np.testing.assert_array_equal(np.asarray(i2), np.asarray(ir))
+
+
+def test_pack_codes_int32_bit_exact(rng):
+    """The packed-int32 residual form (the stage-2 gather speed fix —
+    TPU gather cost scales with element count) round-trips bit-exactly,
+    on both the numpy (host/serving) and traced paths, including
+    negative code values."""
+    from imageretrievalresearch_tpu.ops.retrieval import (
+        _unpack_codes_int32,
+        pack_codes_int32,
+    )
+    codes = rng.integers(-127, 128, (97, 64), dtype=np.int8)
+    packed_np = pack_codes_int32(codes)           # numpy view
+    packed_jx = pack_codes_int32(jnp.asarray(codes))
+    assert packed_np.shape == (97, 16) and packed_np.dtype == np.int32
+    np.testing.assert_array_equal(packed_np, np.asarray(packed_jx))
+    idx = jnp.asarray(rng.integers(0, 97, (5, 13)))
+    rows = _unpack_codes_int32(jnp.asarray(packed_np)[idx])
+    np.testing.assert_array_equal(np.asarray(rows),
+                                  codes[np.asarray(idx)])
+    with pytest.raises(ValueError):
+        pack_codes_int32(codes[:, :63])           # D not a multiple of 4
+
+
+def test_gallery_norms_bit_identical(rng):
+    """The precomputed-norms serving form (skips the per-call gallery
+    norm pass) ranks bit-identically to the per-call path, on both the
+    fused-interpret and dense routes."""
+    from imageretrievalresearch_tpu.ops.retrieval import (
+        cosine_topk,
+        fused_cosine_topk_pallas,
+        l2_normalize,
+    )
+    g = jnp.asarray(rng.normal(size=(2300, 64)).astype(np.float32)) * 3
+    q = l2_normalize(jnp.asarray(
+        rng.normal(size=(64, 64)).astype(np.float32)))
+    gn = jnp.linalg.norm(g, axis=1)
+    va, ia, _ = fused_cosine_topk_pallas(q, g, 10, interpret=True)
+    vb, ib, _ = fused_cosine_topk_pallas(q, g, 10, gallery_norms=gn,
+                                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+    vc, ic = cosine_topk(q, g, 10, method="dense")
+    vd, idd = cosine_topk(q, g, 10, method="dense", gallery_norms=gn)
+    np.testing.assert_array_equal(np.asarray(ic), np.asarray(idd))
+    np.testing.assert_array_equal(np.asarray(vc), np.asarray(vd))

@@ -70,6 +70,7 @@ def main():
     from imageretrievalresearch_tpu.ops.retrieval import (
         cosine_topk,
         int8_rerank_topk,
+        pack_codes_int32,
         quantize_rows_int8_residual,
     )
 
@@ -81,35 +82,43 @@ def main():
         g = jax.random.normal(key, (N // CHUNKS, DIM))
         return g / jnp.linalg.norm(g, axis=1, keepdims=True)
 
-    f32_chunks, quants = [], []
+    queries = jax.random.normal(jax.random.key(1), (QUERIES, DIM))
+
+    # Chunks are generated, quantized, reference-ranked and FREED one at
+    # a time: holding all four f32 chunks (6 GB) alongside the codes
+    # (3 GB) OOM'd the 16 GB chip once the reference ranking moved to
+    # precision='highest' (whose dense-fallback branch reserves more HBM).
+    # 'highest' matters for the reference: the default ranking carries
+    # ~2.8e-4 of bf16 truncation noise of its own (PERF.md 'Matmul
+    # precision'), which the first run of this tool misattributed to the
+    # re-rank mode under test (top1 "0.994" vs a default-precision
+    # reference, where the refined scores were the MORE faithful side).
+    quants, cand_v, cand_i = [], [], []
     g1m = rm = None
     for i in range(CHUNKS):
-        f32_chunks.append(gen_chunk(jax.random.key(10 + i)))
-        qt = quantize_rows_int8_residual(f32_chunks[-1])
+        ch = gen_chunk(jax.random.key(10 + i))
+        qt = quantize_rows_int8_residual(ch)
         jax.block_until_ready(qt[0])
         quants.append(qt[:4])
         g1m = qt[4] if g1m is None else jnp.maximum(g1m, qt[4])
         rm = qt[5] if rm is None else jnp.maximum(rm, qt[5])
-        log(f"chunk {i}: generated + two-level quantized")
+        v, idx = cosine_topk(queries, ch, K, precision="highest")
+        cand_v.append(v)
+        cand_i.append(idx + i * (N // CHUNKS))
+        jax.block_until_ready(v)
+        del ch, qt
+        gc.collect()
+        log(f"chunk {i}: generated + quantized + f32-highest ranked")
     c1 = jnp.concatenate([q[0] for q in quants])
     s1 = jnp.concatenate([q[1] for q in quants])
-    c2 = jnp.concatenate([q[2] for q in quants])
+    # residual resident packed, exactly as GalleryIndex serves it
+    c2 = pack_codes_int32(jnp.concatenate([q[2] for q in quants]))
     s2 = jnp.concatenate([q[3] for q in quants])
     del quants
     gc.collect()
     jax.block_until_ready(c1)
     log(f"codes resident: {c1.nbytes / 1e9:.2f} + {c2.nbytes / 1e9:.2f} GB")
 
-    queries = jax.random.normal(jax.random.key(1), (QUERIES, DIM))
-
-    # --- true-f32-exact reference, chunkwise with offset merge ---
-    cand_v, cand_i = [], []
-    for i, ch in enumerate(f32_chunks):
-        v, idx = cosine_topk(queries, ch, K)
-        cand_v.append(v)
-        cand_i.append(idx + i * (N // CHUNKS))
-        jax.block_until_ready(v)
-        log(f"f32 exact chunk {i} ranked")
     cv = jnp.concatenate(cand_v, axis=1)
     ci = jnp.concatenate(cand_i, axis=1)
     mv, mp = jax.lax.top_k(cv, K)
@@ -118,22 +127,23 @@ def main():
     del cand_v, cand_i, cv, ci, mv, mp
     log("f32 exact reference merged")
 
-    # --- rerank fidelity (shortlist=256, certificate bounds on) ---
-    rv, ri, rmarg = int8_rerank_topk(queries, c1, s1, c2, s2, K,
-                                     shortlist=256,
-                                     gallery_norm_bound=g1m,
-                                     residual_norm_bound=rm)
-    jax.block_until_ready(rv)
-    log("rerank@256 computed")
-    ri_np, rv_np, m_np = np.asarray(ri), np.asarray(rv), np.asarray(rmarg)
-    top1 = float((ri_np[:, 0] == ref_i[:, 0]).mean())
-    ov = overlap_frac(ref_i, ri_np)
-    dv = float(np.abs(rv_np - ref_v).max())
-    log(f"RERANK vs f32 exact: top1 {top1:.5f} top{K} overlap {ov:.5f} "
-        f"max|dscore| {dv:.2e}")
-    log(f"certificate: certified frac {(m_np > 0).mean():.4f}, "
-        f"margin p1/p50 {np.percentile(m_np, 1):.4f}/"
-        f"{np.percentile(m_np, 50):.4f}")
+    # --- rerank fidelity (certificate bounds on) ---
+    for c in (192, 256):
+        rv, ri, rmarg = int8_rerank_topk(queries, c1, s1, c2, s2, K,
+                                         shortlist=c,
+                                         gallery_norm_bound=g1m,
+                                         residual_norm_bound=rm)
+        jax.block_until_ready(rv)
+        ri_np, rv_np = np.asarray(ri), np.asarray(rv)
+        m_np = np.asarray(rmarg)
+        top1 = float((ri_np[:, 0] == ref_i[:, 0]).mean())
+        ov = overlap_frac(ref_i, ri_np)
+        dv = float(np.abs(rv_np - ref_v).max())
+        log(f"RERANK@{c} vs f32 exact: top1 {top1:.5f} "
+            f"top{K} overlap {ov:.5f} max|dscore| {dv:.2e}")
+        log(f"  certificate: certified frac {(m_np > 0).mean():.4f}, "
+            f"margin p1/p50 {np.percentile(m_np, 1):.4f}/"
+            f"{np.percentile(m_np, 50):.4f}")
 
     # pure int8 fidelity on the same reference (round-4 number re-check)
     iv, ii = cosine_topk(queries, c1, K, matmul_dtype="int8",
@@ -144,15 +154,13 @@ def main():
         f"{float((ii_np[:, 0] == ref_i[:, 0]).mean()):.5f} "
         f"top{K} overlap {overlap_frac(ref_i, ii_np):.5f}")
 
-    # --- throughput (f32 chunks freed first) ---
-    del f32_chunks
-    gc.collect()
+    # --- throughput ---
     ms_int8 = pipelined_ms(
         lambda: cosine_topk(queries, c1, K, matmul_dtype="int8",
                             gallery_scale=s1))
     log(f"pure int8 1M: {ms_int8:.2f} ms = {QUERIES / ms_int8 * 1e3:,.0f} "
         "qps")
-    for c in (256, 512):
+    for c in (192, 256, 512):
         ms = pipelined_ms(
             lambda c=c: int8_rerank_topk(queries, c1, s1, c2, s2, K,
                                          shortlist=c,
