@@ -541,8 +541,17 @@ def fused_cosine_topk_pallas(
     # pallas interpret mode zero-fills partial blocks, but a zero norm
     # row would hit the eps clamp differently than Mosaic's undefined
     # tail, and interpret correctness must be exact.
+    # precision='highest' (the bf16_6x multi-pass dot) also pads: Mosaic's
+    # compile of a HIGHEST dot over a PARTIAL boundary block hangs
+    # indefinitely on this toolchain (reproduced twice on chip, round 5 —
+    # a 100k unpadded HIGHEST call never returned where padded takes
+    # ~26 ms). HIGHEST is the 2.8x-slower parity path, so the one extra
+    # pad copy is acceptable there.
+    must_pad = interpret or (matmul_dtype == "float32"
+                             and precision == "highest")
+
     def gpad(a, fill=0):
-        if not interpret or gp == g:
+        if not must_pad or gp == g:
             return a
         return jnp.pad(a, ((0, gp - g), (0, 0)), constant_values=fill)
 
