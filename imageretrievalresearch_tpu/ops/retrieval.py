@@ -468,6 +468,7 @@ def fused_cosine_topk_pallas(
         matmul_dtype: str = "float32", gallery_scale: jax.Array | None = None,
         gallery_norms: jax.Array | None = None,
         precision: str = "default",
+        fold: int | None = None,
         interpret: bool = False
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """(Q, D) normalized queries x (G, D) raw gallery -> exact top-k
@@ -495,12 +496,15 @@ def fused_cosine_topk_pallas(
     assert k <= t_depth * g_tile, (k, t_depth, g_tile)
     bf16 = matmul_dtype == "bfloat16"
     int8 = matmul_dtype == "int8"
-    # The kernel supports folding F gallery tiles per grid step (bin width
-    # stays g_tile). Measured on chip: fold=2 for bf16 needed the slow
-    # slice-wise epilogue to fit VMEM and netted ~3 ms back on a ~10 ms
-    # regression, so fold stays 1 — the runtime is dominated by the
-    # insertion chain + k-pass extraction, not grid-step overhead.
-    fold = 1
+    # fold = gallery tiles folded into one grid step (bin width stays
+    # g_tile). Re-swept round 5 with pipelined timing after the nopad +
+    # 64 MB-budget changes: fold 2/4/8 move int8/bf16 by <=5% at 100k AND
+    # 1M (grid-step overhead is NOT what bounds the compact dtypes — the
+    # per-score insertion-chain VPU work is, and that is fold-invariant).
+    # Default stays 1; the knob remains for future geometry experiments.
+    if fold is None:
+        fold = 1
+    assert fold >= 1
     g_block = fold * g_tile
     qp, gp = _round_up(q, q_tile), _round_up(g, g_block)
     qh = jnp.pad(queries_hat.astype(jnp.float32), ((0, qp - q), (0, 0)))
