@@ -91,6 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "int8_rerank = certified two-stage capacity mode "
                          "(int8 shortlist + f32-faithful re-rank, ~f32 "
                          "ranking at int8 streaming speed, bf16 memory)")
+    pq.add_argument("--precision", type=str, default="default",
+                    choices=["default", "highest"],
+                    help="float32 mode only: 'highest' scores with the "
+                         "multi-pass f32-faithful matmul (reference torch "
+                         "f32 cosine parity on near-ties, ~2.8x slower); "
+                         "the default is the MXU's one-pass bf16-truncated "
+                         "f32 (PERF.md 'Matmul precision')")
     pq.add_argument("--transform", type=str, default=None,
                     choices=["squarepad", "plain"],
                     help="eval transform (default: the artifact's recorded "
@@ -347,7 +354,8 @@ def _records(vals, inds, classes, gpaths):
 
 def _rank(idx, queries, args):
     """Shared ranking + record building for query/serve."""
-    kw = dict(method=args.method, matmul_dtype=args.matmul_dtype)
+    kw = dict(method=args.method, matmul_dtype=args.matmul_dtype,
+              precision=getattr(args, "precision", "default"))
     k = min(args.topk, len(idx))
     if args.num_unique:
         vals, inds, classes = idx.query_class_dedup(
