@@ -70,11 +70,20 @@ def main() -> None:
         "--save_gallery", npz, "--gallery_dtype", "int8",
     ]))
 
-    # 3. batch query via the CLI surface (JSON lines on stdout)
+    # 3. batch query via the CLI surface (JSON lines on stdout).
+    #    Serving-mode matrix (PERF.md): float32 (+ --precision highest
+    #    for torch-f32 near-tie parity), bfloat16 (half the bytes,
+    #    recall@150 = 1.0), int8 (quarter the bytes, fastest), and
+    #    int8_rerank (certified two-stage capacity mode: int8 shortlist
+    #    + f32-faithful re-rank — top-1 agreement 1.0000 vs true-f32
+    #    exact at 1M items, bf16-equal memory; --shortlist sizes stage 1)
     photos = sorted(glob.glob(tree + "/photo/tx_000000000000/*/*"))[:2]
     gallery_run(gallery_parser().parse_args(
         ["query", npz, *photos, "-k", "24", "--num_unique", "2",
          "--matmul_dtype", "int8"]))
+    gallery_run(gallery_parser().parse_args(
+        ["query", npz, *photos, "-k", "8", "--num_unique", "2",
+         "--matmul_dtype", "int8_rerank", "--shortlist", "16"]))
 
     # 4. resident HTTP endpoint
     srv = _make_server(gallery_parser().parse_args(

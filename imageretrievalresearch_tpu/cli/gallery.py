@@ -91,6 +91,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "int8_rerank = certified two-stage capacity mode "
                          "(int8 shortlist + f32-faithful re-rank, ~f32 "
                          "ranking at int8 streaming speed, bf16 memory)")
+    pq.add_argument("--shortlist", type=int, default=256,
+                    help="int8_rerank only: stage-1 quantized shortlist "
+                         "size (>= k; 192 trades ~12%% more qps at "
+                         "measured-identical 1M fidelity — PERF.md)")
     pq.add_argument("--precision", type=str, default="default",
                     choices=["default", "highest"],
                     help="float32 mode only: 'highest' scores with the "
@@ -355,7 +359,8 @@ def _records(vals, inds, classes, gpaths):
 def _rank(idx, queries, args):
     """Shared ranking + record building for query/serve."""
     kw = dict(method=args.method, matmul_dtype=args.matmul_dtype,
-              precision=getattr(args, "precision", "default"))
+              precision=getattr(args, "precision", "default"),
+              shortlist=getattr(args, "shortlist", 256))
     k = min(args.topk, len(idx))
     if args.num_unique:
         vals, inds, classes = idx.query_class_dedup(

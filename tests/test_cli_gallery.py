@@ -59,6 +59,27 @@ class TestGalleryCLI:
             assert all(0 <= i < info["items"] for i in rec["indices"])
             assert all(np.isfinite(rec["scores"]))
 
+        # the certified capacity mode + its knobs through the same CLI
+        run(build_parser().parse_args(
+            ["query", npz, *photos, "-bs", "4", "-k", "8",
+             "--num_unique", "2", "--matmul_dtype", "int8_rerank",
+             "--shortlist", "12"]))
+        rr = [json.loads(l) for l in
+              capsys.readouterr().out.strip().splitlines()]
+        # the f32-parity path: --precision highest
+        run(build_parser().parse_args(
+            ["query", npz, *photos, "-bs", "4", "-k", "8",
+             "--num_unique", "2", "--precision", "highest"]))
+        hi = [json.loads(l) for l in
+              capsys.readouterr().out.strip().splitlines()]
+        assert len(rr) == 3 and len(hi) == 3
+        for rec_r, rec_h in zip(rr, hi):
+            assert len(rec_r["indices"]) == 2
+            assert all(np.isfinite(rec_r["scores"]))
+            # the refined re-rank and the true-f32 ranking agree on the
+            # top hit (CPU scores are true f32; rerank error ~1e-5)
+            assert rec_r["indices"][0] == rec_h["indices"][0]
+
     def test_artifact_records_architecture_and_load_stack_uses_it(
             self, tree, tmp_path, capsys, monkeypatch):
         """Checkpoint loading needs the trained classifier width: the
