@@ -33,21 +33,29 @@ from imageretrievalresearch_tpu.ops.retrieval import (
     jax.jit, static_argnames=("mesh", "axis_name", "k", "k_local", "shard",
                               "fused", "matmul_dtype", "precision",
                               "interpret"))
-def _sharded_topk_impl(queries, gallery, *scale, mesh, axis_name, k, k_local,
+def _sharded_topk_impl(queries, gallery, *extra, mesh, axis_name, k, k_local,
                        shard, fused, matmul_dtype, precision, interpret):
     """One compiled program: shard_map ranking + the candidate merge.
 
     Jitted as a whole because this IS the serving dispatch path — eager
     execution would pay a ~28 ms dispatch RTT for the shard_map call plus
-    each of the four merge ops on a remote transport (CLAUDE.md)."""
+    each of the four merge ops on a remote transport (CLAUDE.md).
 
-    def local_rank(q_hat, g_local, gs_local):
+    ``*extra`` carries at most ONE row-sharded (G, 1) side array — the
+    int8 scales (matmul_dtype='int8') or the f32 build-time gallery norms
+    (matmul_dtype='float32'); the modes are disjoint, so one slot covers
+    both."""
+
+    def local_rank(q_hat, g_local, ex_local):
+        gs_local = ex_local if matmul_dtype == "int8" else None
+        gn_local = ex_local if matmul_dtype == "float32" else None
         # g_local: (shard, D) on each device; score arithmetic shared with
         # the single-device paths via ops.retrieval.dense_scores
         if fused:
             vals, inds, ok = fused_cosine_topk_pallas(
                 q_hat, g_local, k_local, matmul_dtype=matmul_dtype,
-                gallery_scale=gs_local, precision=precision,
+                gallery_scale=gs_local, gallery_norms=gn_local,
+                precision=precision,
                 interpret=interpret)
             # bounded per-shard certificate repair — the SAME parity-
             # critical logic as the single-device path, shared via
@@ -69,21 +77,21 @@ def _sharded_topk_impl(queries, gallery, *scale, mesh, axis_name, k, k_local,
         offset = jax.lax.axis_index(axis_name) * shard
         return vals, inds + offset
 
-    scale_spec = (P(axis_name, None),) if scale else ()
+    extra_spec = (P(axis_name, None),) if extra else ()
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(axis_name, None)) + scale_spec,
+        in_specs=(P(), P(axis_name, None)) + extra_spec,
         out_specs=(P(axis_name), P(axis_name)),
         # pallas_call outputs don't carry varying-mesh-axis metadata yet
         check_vma=False)
-    def ranked(q_hat, g_shard, *gs_shard):
+    def ranked(q_hat, g_shard, *ex_shard):
         vals, inds = local_rank(q_hat, g_shard,
-                                gs_shard[0] if gs_shard else None)
+                                ex_shard[0] if ex_shard else None)
         return vals[None], inds[None]     # leading device axis for gather
 
     q_hat = l2_normalize(queries)
-    vals, inds = ranked(q_hat, gallery, *scale)   # (n_dev, Q, k_local) each
+    vals, inds = ranked(q_hat, gallery, *extra)   # (n_dev, Q, k_local) each
     # merge: concatenate device candidates, re-top-k (tiny: n_dev*k per query)
     vals = jnp.swapaxes(vals, 0, 1).reshape(queries.shape[0], -1)
     inds = jnp.swapaxes(inds, 0, 1).reshape(queries.shape[0], -1)
@@ -97,6 +105,7 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
                         use_fused: bool | None = None,
                         matmul_dtype: str = "float32",
                         gallery_scale: jax.Array | None = None,
+                        gallery_norms: jax.Array | None = None,
                         precision: str = "default",
                         interpret: bool = False
                         ) -> tuple[jax.Array, jax.Array]:
@@ -138,8 +147,16 @@ def sharded_cosine_topk(queries: jax.Array, gallery: jax.Array, k: int,
         (platform == "tpu" or interpret)
         and _fused_eligible(q, shard, d, k_local, FUSED_G_TILE,
                             FUSED_T_DEPTH))
-    args = (gallery,) + ((gallery_scale,)
-                         if gallery_scale is not None else ())
+    if gallery_norms is not None and matmul_dtype != "float32":
+        raise ValueError("gallery_norms applies to the float32 mode only")
+    extra = ()
+    if gallery_scale is not None:
+        extra = (gallery_scale,)
+    elif gallery_norms is not None:
+        # build-time norms, row-sharded like the gallery (skips the
+        # per-shard per-call norm recompute — PERF.md round-5)
+        extra = (gallery_norms.reshape(-1, 1),)
+    args = (gallery,) + extra
     return _sharded_topk_impl(queries, *args, mesh=mesh,
                               axis_name=axis_name, k=k, k_local=k_local,
                               shard=shard, fused=fused,

@@ -319,7 +319,11 @@ class GalleryIndex:
                 self._device_gallery[key] = (put(emb), jnp.asarray(norms))
             else:
                 g = np.pad(emb, ((0, pad), (0, 0))) if pad else emb
-                self._device_gallery[key] = put(g)
+                # pad norms with 1.0: zero pad rows score exactly 0.0
+                norms = np.pad(
+                    np.linalg.norm(emb, axis=1).astype(np.float32),
+                    (0, pad), constant_values=1.0).reshape(-1, 1)
+                self._device_gallery[key] = (put(g), put(norms))
         return self._device_gallery[key]
 
     def _classes_on_device(self) -> jax.Array:
@@ -407,8 +411,13 @@ class GalleryIndex:
             sharded_cosine_topk,
         )
         prepared = self._gallery_on_device(matmul_dtype, mesh=mesh)
-        g, g_scale = (prepared if isinstance(prepared, tuple)
-                      else (prepared, None))
+        g_scale = g_norms = None
+        if matmul_dtype == "float32":
+            g, g_norms = prepared
+        elif isinstance(prepared, tuple):
+            g, g_scale = prepared
+        else:
+            g = prepared
         pad = g.shape[0] - len(self)
         # zero pad rows score exactly 0, which can outrank real rows with
         # negative similarity — over-query by the pad count, then drop pad
@@ -417,6 +426,7 @@ class GalleryIndex:
         vals, inds = sharded_cosine_topk(q, g, kk, mesh,
                                          matmul_dtype=matmul_dtype,
                                          gallery_scale=g_scale,
+                                         gallery_norms=g_norms,
                                          precision=precision,
                                          interpret=interpret)
         if pad:

@@ -146,6 +146,25 @@ class TestShardedGallery:
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_build_time_norms_bit_identical(self, rng):
+        """Sharded f32 with precomputed (row-sharded) gallery norms ranks
+        bit-identically to the per-call-norm path."""
+        mesh = make_mesh()
+        q = rng.normal(size=(10, 32)).astype(np.float32)
+        g = rng.normal(size=(64, 32)).astype(np.float32)
+        gn = jnp.linalg.norm(jnp.asarray(g), axis=1)
+        v1, i1 = sharded_cosine_topk(jnp.asarray(q), jnp.asarray(g), 5,
+                                     mesh)
+        v2, i2 = sharded_cosine_topk(jnp.asarray(q), jnp.asarray(g), 5,
+                                     mesh, gallery_norms=gn)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        import pytest
+
+        with pytest.raises(ValueError, match="float32 mode only"):
+            sharded_cosine_topk(jnp.asarray(q), jnp.asarray(g), 5, mesh,
+                                matmul_dtype="bfloat16", gallery_norms=gn)
+
     def test_k_larger_than_shard_still_exact(self, rng):
         # G=64 over 8 devices -> shard=8; k=16 > shard must still return the
         # exact global top-16 with all k rows (VERDICT r1 weak #7)
