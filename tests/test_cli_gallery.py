@@ -260,6 +260,28 @@ class TestGalleryCLI:
             srv.shutdown()
             srv.server_close()
 
+        # the default (float32) serving dtype takes a different resident
+        # form — (gallery, norms) with build-time norms — through the
+        # same fused one-dispatch search; same artifact, fresh server
+        srv2 = _make_server(build_parser().parse_args(
+            ["serve", npz, "--port", "0", "-k", "8", "--num_unique", "2"]))
+        t2 = threading.Thread(target=srv2.serve_forever, daemon=True)
+        t2.start()
+        try:
+            base = f"http://127.0.0.1:{srv2.server_address[1]}"
+            photo = sorted(glob.glob(
+                tree + "/photo/tx_000000000000/*/*"))[0]
+            req = urllib.request.Request(
+                base + "/search?num_unique=2",
+                data=open(photo, "rb").read(), method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                rec = json.loads(r.read())
+            assert len(rec["indices"]) == 2
+            assert all(np.isfinite(rec["scores"]))
+        finally:
+            srv2.shutdown()
+            srv2.server_close()
+
     def test_serve_rejects_empty_gallery(self, tmp_path):
         """An empty artifact must fail at server startup, not answer 200
         with empty rankings."""
